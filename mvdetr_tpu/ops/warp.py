@@ -1,0 +1,74 @@
+"""Perspective (homography) warping of NHWC feature maps.
+
+TPU-native equivalent of the reference's ``kornia.warp_perspective`` call that
+projects per-view CNN features onto the ground plane
+(`/root/reference/multiview_detector/models/mvdetr.py:194-195`). The
+view-coherent augmentation is fused here by construction: callers compose the
+inverse augmentation affine into the projection matrix *before* warping
+(`mvdetr.py:155-161`), so a single resampling pass moves augmented features
+into the right BEV cells.
+
+``mats`` map **source pixels -> destination pixels** (same direction as the
+reference's ``proj_mats``); the inverse needed for output-driven sampling is
+taken on device (3x3, negligible).
+
+The default path is pure-jnp bilinear gather (XLA lowers it to an efficient
+row gather over the C-contiguous last axis). A Pallas kernel can be swapped in
+behind the same signature for the HBM-bandwidth-bound cases.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mvdetr_tpu.ops.sampling import bilinear_sample_batched
+
+
+def invert_3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate / det).
+
+    Avoids ``jnp.linalg.inv``'s LU path for tiny matrices inside jit.
+    ``m``: [..., 3, 3].
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def perspective_warp(feats: jnp.ndarray, mats: jnp.ndarray, out_shape) -> jnp.ndarray:
+    """Warp ``feats [B, H, W, C]`` by per-sample homographies ``mats [B, 3, 3]``.
+
+    ``mats`` maps source pixel coords (x, y, 1) to destination pixel coords.
+    Output is ``[B, Ho, Wo, C]`` with zeros outside the source support.
+    Destination pixels are sampled at their integer-center coordinates.
+    """
+    ho, wo = out_shape
+    b = feats.shape[0]
+    inv = invert_3x3(mats.astype(jnp.float32))  # dst -> src
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(ho, dtype=jnp.float32), jnp.arange(wo, dtype=jnp.float32), indexing="ij"
+    )
+    dst = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1).reshape(-1, 3)  # [Ho*Wo, 3]
+    src = jnp.einsum("bij,qj->bqi", inv, dst)
+    eps = 1e-8
+    z = src[..., 2]
+    z = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+    sx = src[..., 0] / z
+    sy = src[..., 1] / z
+
+    out = bilinear_sample_batched(feats, sx, sy)  # [B, Ho*Wo, C]
+    return out.reshape(b, ho, wo, feats.shape[-1])

@@ -15,6 +15,15 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize pre-imports jax at interpreter start with
+# JAX_PLATFORMS=axon baked in, so the env vars above are too late for it —
+# force the platform through the live config instead (no backend has been
+# initialized yet at conftest time).
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
