@@ -1,0 +1,162 @@
+"""Deformable-attention modules (Flax).
+
+Module contracts from the reference
+(`/root/reference/multiview_detector/models/ops/modules/ms_deform_attn.py:30-117`
+and `models/deformable_transformer.py:22-86`), with the sampling core provided
+by :mod:`mvdetr_tpu.ops.msda`.
+
+MVDeTr specifics preserved:
+- ``reference_points`` may carry an extra per-point axis
+  (``[B, Q, L, P, 2]``), broadcast against the learned offsets
+  (`ms_deform_attn.py:104-107`) — the "shadow" prior,
+- attention weights are softmax-normalized jointly over (levels, points)
+  (`ms_deform_attn.py:101-102`),
+- the radial sampling-offset bias initialization (`ms_deform_attn.py:62-71`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from mvdetr_tpu.ops.msda import ms_deform_attn, ms_deform_attn_same_shape
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def radial_offset_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
+    """Head-h points initialize along direction 2*pi*h/H, ring radius i+1 per point."""
+    thetas = np.arange(n_heads, dtype=np.float64) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid.reshape(n_heads, 1, 1, 2), (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1).astype(np.float32)
+
+
+class MSDeformAttn(nn.Module):
+    d_model: int = 128
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [B, Q, C]
+        reference_points: jnp.ndarray,  # [B, Q, L, 2] or [B, Q, L, P, 2]
+        input_flatten: jnp.ndarray,  # [B, S, C]
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ) -> jnp.ndarray:
+        m, l, p = self.n_heads, self.n_levels, self.n_points
+        d = self.d_model // m
+        b, q, _ = query.shape
+        s = input_flatten.shape[1]
+        assert sum(int(h) * int(w) for h, w in spatial_shapes) == s
+
+        value = nn.Dense(self.d_model, kernel_init=xavier_uniform, name="value_proj")(input_flatten)
+        value = value.reshape(b, s, m, d)
+
+        offsets = nn.Dense(
+            m * l * p * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: jnp.asarray(radial_offset_bias(m, l, p)),
+            name="sampling_offsets",
+        )(query).reshape(b, q, m, l, p, 2)
+        weights = nn.Dense(
+            m * l * p, kernel_init=nn.initializers.zeros, name="attention_weights"
+        )(query).reshape(b, q, m, l * p)
+        weights = nn.softmax(weights, axis=-1).reshape(b, q, m, l, p)
+
+        normalizer = jnp.asarray([[float(w_), float(h_)] for h_, w_ in spatial_shapes], dtype=query.dtype)
+        if reference_points.ndim == 4:  # [B, Q, L, 2]
+            ref = reference_points[:, :, None, :, None, :]
+        elif reference_points.ndim == 5:  # [B, Q, L, P, 2] — MVDeTr per-point refs
+            ref = reference_points[:, :, None, :, :, :]
+        else:
+            raise ValueError(f"bad reference_points rank: {reference_points.shape}")
+        locations = ref + offsets / normalizer[None, None, None, :, None, :]
+
+        shapes = tuple((int(h_), int(w_)) for h_, w_ in spatial_shapes)
+        if len(set(shapes)) == 1:
+            out = ms_deform_attn_same_shape(value, shapes[0], len(shapes), locations, weights)
+        else:
+            out = ms_deform_attn(value, shapes, locations, weights)
+        return nn.Dense(self.d_model, kernel_init=xavier_uniform, name="output_proj")(out)
+
+
+class DeformableEncoderLayer(nn.Module):
+    """Self-attention + FFN with pre-added positional embeds (`deformable_transformer.py:55-85`)."""
+
+    d_model: int = 128
+    d_ffn: int = 512
+    dropout: float = 0.1
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes, train: bool = True):
+        q = src if pos is None else src + pos
+        attn = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points, name="self_attn")(
+            q, reference_points, src, spatial_shapes
+        )
+        src = src + nn.Dropout(self.dropout, deterministic=not train)(attn)
+        src = nn.LayerNorm(name="norm1")(src)
+        y = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, name="linear1")(src)
+        y = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(y))
+        y = nn.Dense(self.d_model, kernel_init=xavier_uniform, name="linear2")(y)
+        src = src + nn.Dropout(self.dropout, deterministic=not train)(y)
+        return nn.LayerNorm(name="norm2")(src)
+
+
+def grid_reference_points(spatial_shapes) -> np.ndarray:
+    """Per-level half-center reference grid, normalized (`deformable_transformer.py:29-41`),
+    for encoders without a precomputed (geometry-derived) reference map."""
+    refs = []
+    for h, w in spatial_shapes:
+        ys, xs = np.meshgrid(
+            np.linspace(0.5, h - 0.5, int(h)) / h, np.linspace(0.5, w - 0.5, int(w)) / w, indexing="ij"
+        )
+        refs.append(np.stack([xs, ys], -1).reshape(-1, 2))
+    ref = np.concatenate(refs, 0)  # [S, 2]
+    return np.tile(ref[:, None, :], (1, len(spatial_shapes), 1)).astype(np.float32)  # [S, L, 2]
+
+
+class DeformableEncoder(nn.Module):
+    """Stack of ``num_layers`` deformable encoder layers (`deformable_transformer.py:22-52`).
+
+    ``reference_points`` (static, [Q, L, P, 2]) carries MVDeTr's precomputed
+    shadow maps; when None, the standard per-level grid is generated.
+    """
+
+    num_layers: int = 3
+    d_model: int = 128
+    d_ffn: int = 512
+    dropout: float = 0.1
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    reference_points: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, src, spatial_shapes, pos=None, train: bool = True):
+        b = src.shape[0]
+        if self.reference_points is None:
+            ref = jnp.asarray(grid_reference_points(spatial_shapes))
+            ref = jnp.broadcast_to(ref[None], (b,) + ref.shape)
+        else:
+            ref = jnp.asarray(self.reference_points)
+            ref = jnp.broadcast_to(ref[None], (b,) + ref.shape)
+        out = src
+        for i in range(self.num_layers):
+            out = DeformableEncoderLayer(
+                self.d_model, self.d_ffn, self.dropout, self.n_levels, self.n_heads, self.n_points,
+                name=f"layer{i}",
+            )(out, pos, ref, spatial_shapes, train)
+        return out

@@ -1,0 +1,134 @@
+"""MVDeTr — the flagship multiview detector (Flax, NHWC).
+
+Pipeline contract from `/root/reference/multiview_detector/models/mvdetr.py:74-218`:
+
+1. shared backbone over all B*N views (BN statistics over the flattened
+   view-batch, `mvdetr.py:153,177`),
+2. 1x1 bottleneck to ``bottleneck_dim`` with spatial (2D) dropout,
+3. per-view heads: center heatmap / sub-cell offset / bbox size,
+4. perspective warp of per-view features onto the reduced BEV grid with the
+   per-sample homography ``proj_mats @ inv(M_aug) @ diag(img_reduce)``
+   (`mvdetr.py:155-161,194-195`) — the inverse augmentation affine is fused
+   into the projection, so view-coherent augmentation holds on device,
+5. world-feature fusion (shadow transformer or variants),
+6. world heads: BEV occupancy heatmap + offset.
+
+Heads output NHWC maps; callers flatten/gather as needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from mvdetr_tpu.models.heads import HEATMAP_BIAS_INIT, OutputHead
+from mvdetr_tpu.models.resnet import ResNetFeatures
+from mvdetr_tpu.models.vgg import VGG11Features
+from mvdetr_tpu.models.world_feat import build_world_feat
+from mvdetr_tpu.ops.warp import invert_3x3, perspective_warp
+
+
+class MVDeTr(nn.Module):
+    num_cam: int
+    Rworld_shape: Tuple[int, int]
+    img_reduce: int = 12
+    proj_mats: Optional[np.ndarray] = None  # [N, 3, 3] image px -> reduced BEV grid
+    arch: str = "resnet18"
+    world_feat_arch: str = "deform_trans"
+    bottleneck_dim: int = 128
+    outfeat_dim: int = 0
+    dropout: float = 0.0
+    reference_points: Optional[np.ndarray] = None  # [N*Hs*Ws, N, P, 2] for deform_trans
+    n_points: int = 4
+
+    @classmethod
+    def from_rig(
+        cls,
+        rig,
+        world_reduce: int = 4,
+        img_reduce: int = 12,
+        arch: str = "resnet18",
+        world_feat_arch: str = "deform_trans",
+        bottleneck_dim: int = 128,
+        outfeat_dim: int = 0,
+        dropout: float = 0.0,
+        n_points: int = 4,
+    ) -> "MVDeTr":
+        """Build from a :class:`CameraRig`, deriving projection matrices and
+        reference maps (`mvdetr.py:82-95,129-130`)."""
+        ref = None
+        if world_feat_arch == "deform_trans":
+            ref = rig.reference_points(world_reduce=world_reduce, downsample=2, n_points=n_points)
+            ref = np.tile(ref, (rig.num_cam, 1, 1, 1))  # queries repeated per camera
+        return cls(
+            num_cam=rig.num_cam,
+            Rworld_shape=rig.Rworld_shape(world_reduce),
+            img_reduce=img_reduce,
+            proj_mats=rig.proj_mats(world_reduce=world_reduce).astype(np.float32),
+            arch=arch,
+            world_feat_arch=world_feat_arch,
+            bottleneck_dim=bottleneck_dim,
+            outfeat_dim=outfeat_dim,
+            dropout=dropout,
+            reference_points=ref,
+            n_points=n_points,
+        )
+
+    @nn.compact
+    def __call__(self, imgs: jnp.ndarray, affine_mats: jnp.ndarray, train: bool = True):
+        """``imgs``: [B, N, H, W, 3] normalized; ``affine_mats``: [B, N, 3, 3]
+        augmentation affines in full-resolution image pixels (identity when
+        augmentation is off)."""
+        b, n, h, w, _ = imgs.shape
+        assert n == self.num_cam
+        x = imgs.reshape(b * n, h, w, 3)
+
+        # backbone params live under params['base'] — the boundary the
+        # two-group optimizer keys on (`main.py:100-104`)
+        if self.arch == "resnet18":
+            feat = ResNetFeatures(
+                stage_sizes=(2, 2, 2, 2), replace_stride_with_dilation=(False, True, True), name="base"
+            )(x, train)
+        elif self.arch == "vgg11":
+            feat = VGG11Features(name="base")(x, train)
+        else:
+            raise ValueError(f"unsupported arch: {self.arch}")
+
+        if self.bottleneck_dim:
+            feat = nn.Conv(self.bottleneck_dim, (1, 1), name="bottleneck")(feat)
+            # Dropout2d: drop whole channels across space (`mvdetr.py:110`)
+            feat = nn.Dropout(self.dropout, broadcast_dims=(1, 2), deterministic=not train)(feat)
+
+        # per-view heads on the [B*N, Hf, Wf, C] maps
+        imgs_heatmap = OutputHead(1, self.outfeat_dim, HEATMAP_BIAS_INIT, name="img_heatmap")(feat)
+        imgs_offset = OutputHead(2, self.outfeat_dim, name="img_offset")(feat)
+        imgs_wh = OutputHead(2, self.outfeat_dim, name="img_wh")(feat)
+
+        # projection: feature grid -> image px (x img_reduce) -> un-augment -> BEV
+        proj = jnp.asarray(self.proj_mats, dtype=jnp.float32)  # [N, 3, 3]
+        inv_aff = invert_3x3(affine_mats.reshape(b * n, 3, 3).astype(jnp.float32))
+        reduce_mat = jnp.diag(jnp.asarray([self.img_reduce, self.img_reduce, 1.0], dtype=jnp.float32))
+        full_proj = jnp.einsum(
+            "sij,sjk,kl->sil", jnp.tile(proj, (b, 1, 1)), inv_aff, reduce_mat
+        )  # [B*N, 3, 3] feature px -> BEV cell
+
+        world_in = perspective_warp(feat, full_proj, self.Rworld_shape)
+        c = world_in.shape[-1]
+        world_in = world_in.reshape(b, n, self.Rworld_shape[0], self.Rworld_shape[1], c)
+
+        world_feat = build_world_feat(
+            self.world_feat_arch,
+            self.num_cam,
+            self.Rworld_shape,
+            base_dim=self.bottleneck_dim or 512,
+            reference_points=self.reference_points,
+            n_points=self.n_points,
+        )(world_in, train)
+
+        world_heatmap = OutputHead(1, self.outfeat_dim, HEATMAP_BIAS_INIT, name="world_heatmap")(world_feat)
+        world_offset = OutputHead(2, self.outfeat_dim, name="world_offset")(world_feat)
+
+        return (world_heatmap, world_offset), (imgs_heatmap, imgs_offset, imgs_wh)

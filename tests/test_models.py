@@ -1,0 +1,99 @@
+"""Model smoke + structure tests (analogue of the reference's __main__ smoke
+tests, `models/mvdetr.py:221-238`, `models/trans_world_feat.py:157-163`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvdetr_tpu.models import MVDeTr, ResNetFeatures, build_world_feat
+from mvdetr_tpu.models.deformable import radial_offset_bias
+
+
+@pytest.fixture(scope="module")
+def tiny_rig():
+    from mvdetr_tpu.geometry import make_synthetic_rig
+
+    return make_synthetic_rig(num_cam=2, img_shape=(48, 96), worldgrid_shape=(32, 64))
+
+
+def test_resnet_output_stride():
+    m = ResNetFeatures(stage_sizes=(2, 2, 2, 2), replace_stride_with_dilation=(False, True, True))
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(variables, x, train=False)
+    assert y.shape == (1, 8, 12, 512)  # output stride 8, 512 channels
+
+
+@pytest.mark.parametrize("arch", ["conv", "trans", "aio", "deform_trans", "deform_conv"])
+def test_world_feat_variants(arch, tiny_rig):
+    num_cam, hw = 2, (16, 32)
+    ref = None
+    if arch == "deform_trans":
+        ref = np.tile(tiny_rig.reference_points(world_reduce=2, downsample=2, n_points=4), (num_cam, 1, 1, 1))
+    m = build_world_feat(arch, num_cam, hw, base_dim=32, reference_points=ref)
+    x = jnp.zeros((1, num_cam, hw[0], hw[1], 32))
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(variables, x, train=False)
+    assert y.shape == (1, hw[0], hw[1], 32)
+
+
+def test_radial_offset_bias_matches_torch_formula():
+    torch = pytest.importorskip("torch")
+    import math
+
+    m, l, p = 8, 3, 4
+    thetas = torch.arange(m, dtype=torch.float32) * (2.0 * math.pi / m)
+    grid = torch.stack([thetas.cos(), thetas.sin()], -1)
+    grid = (grid / grid.abs().max(-1, keepdim=True)[0]).view(m, 1, 1, 2).repeat(1, l, p, 1)
+    for i in range(p):
+        grid[:, :, i, :] *= i + 1
+    np.testing.assert_allclose(radial_offset_bias(m, l, p), grid.view(-1).numpy(), atol=1e-5)
+
+
+def test_mvdetr_forward_shapes(tiny_rig):
+    world_reduce, img_reduce = 2, 12
+    model = MVDeTr.from_rig(
+        tiny_rig, world_reduce=world_reduce, img_reduce=img_reduce, world_feat_arch="deform_trans"
+    )
+    b, n = 1, tiny_rig.num_cam
+    hi = tiny_rig.img_shape[0] * 8 // img_reduce
+    wi = tiny_rig.img_shape[1] * 8 // img_reduce
+    imgs = jnp.zeros((b, n, hi, wi, 3))
+    aff = jnp.broadcast_to(jnp.eye(3), (b, n, 3, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs, aff, train=False)
+    (w_hm, w_off), (i_hm, i_off, i_wh) = model.apply(variables, imgs, aff, train=False)
+    hw_, ww_ = tiny_rig.Rworld_shape(world_reduce)
+    assert w_hm.shape == (b, hw_, ww_, 1)
+    assert w_off.shape == (b, hw_, ww_, 2)
+    assert i_hm.shape[0] == b * n and i_hm.shape[-1] == 1
+    assert i_off.shape[-1] == 2 and i_wh.shape[-1] == 2
+    # heatmap bias prior: sigmoid(-2.19) ~ 0.1 at init on zero input
+    assert 0.05 < float(jax.nn.sigmoid(w_hm).mean()) < 0.3
+
+
+def test_mvdetr_train_mode_runs(tiny_rig):
+    model = MVDeTr.from_rig(tiny_rig, world_reduce=2, world_feat_arch="conv", dropout=0.5)
+    b, n = 1, tiny_rig.num_cam
+    imgs = jnp.ones((b, n, 32, 64, 3))
+    aff = jnp.broadcast_to(jnp.eye(3), (b, n, 3, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs, aff, train=False)
+    out, mutated = model.apply(
+        variables,
+        imgs,
+        aff,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert "batch_stats" in mutated
+
+
+def test_backbone_params_under_base(tiny_rig):
+    model = MVDeTr.from_rig(tiny_rig, world_reduce=2, world_feat_arch="conv")
+    imgs = jnp.zeros((1, tiny_rig.num_cam, 32, 64, 3))
+    aff = jnp.broadcast_to(jnp.eye(3), (1, tiny_rig.num_cam, 3, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs, aff, train=False)
+    assert "base" in variables["params"]
+    assert "world_feat" in variables["params"]
