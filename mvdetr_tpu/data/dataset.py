@@ -1,0 +1,236 @@
+"""Frame dataset — host-side pipeline producing jit-stable batches.
+
+Behavioral contract from
+`/root/reference/multiview_detector/datasets/frameDataset.py:49-239`:
+
+- 90/10 frame split (`:73-76`),
+- input resize to ``img_shape * 8 / img_reduce`` + ImageNet normalization
+  (`:66-67`); reduced shapes ``Rworld = grid / world_reduce``,
+  ``Rimg = ceil(img / img_reduce)`` (`:70-71`),
+- per-view GT at the augmented foot point ``((x1+x2)/2, y2)`` with box sizes
+  (`:207-211`), world GT from native-grid positions (`:232-235`),
+- per-view ``random_affine`` returning the matrix M for the model (`:201-204`),
+- camera dropout zeroes that camera's GT (not its pixels) (`:226-231`),
+- semi-supervised keep fraction blanks annotations of late frames (`:94-99`),
+- MOT-format ground-truth rows (frame, x, y) for CLEAR evaluation (`:155-175`).
+
+Everything returns fixed-shape numpy; ``collate`` stacks samples into batches
+ready for ``jax.device_put``.
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from mvdetr_tpu.data.augment import random_affine
+from mvdetr_tpu.data.targets import build_targets
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def _resize_bilinear_np(img: np.ndarray, out_hw) -> np.ndarray:
+    try:
+        import cv2
+
+        return cv2.resize(img, (int(out_hw[1]), int(out_hw[0])), interpolation=cv2.INTER_LINEAR)
+    except Exception:  # numpy fallback
+        h, w = img.shape[:2]
+        ho, wo = (int(v) for v in out_hw)
+        yi = np.clip((np.arange(ho) + 0.5) * h / ho - 0.5, 0, h - 1)
+        xi = np.clip((np.arange(wo) + 0.5) * w / wo - 0.5, 0, w - 1)
+        y0, x0 = np.floor(yi).astype(int), np.floor(xi).astype(int)
+        y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
+        wy, wx = (yi - y0)[:, None, None], (xi - x0)[None, :, None]
+        a = img[y0][:, x0] * (1 - wy) * (1 - wx) + img[y0][:, x1] * (1 - wy) * wx
+        b = img[y1][:, x0] * wy * (1 - wx) + img[y1][:, x1] * wy * wx
+        return (a + b).astype(img.dtype)
+
+
+class FrameDataset:
+    def __init__(
+        self,
+        source,
+        train: bool = True,
+        world_reduce: int = 4,
+        img_reduce: int = 12,
+        world_kernel_size: float = 10.0,
+        img_kernel_size: float = 10.0,
+        train_ratio: float = 0.9,
+        top_k: int = 100,
+        semi_supervised: float = 0.0,
+        dropout: float = 0.0,
+        augmentation: bool = False,
+        seed: int = 2021,
+    ):
+        self.source = source
+        self.rig = source.rig
+        self.train = train
+        self.world_reduce, self.img_reduce = world_reduce, img_reduce
+        self.world_kernel_size, self.img_kernel_size = world_kernel_size, img_kernel_size
+        self.top_k = top_k
+        self.semi_supervised = semi_supervised * train
+        self.dropout = dropout
+        self.augmentation = augmentation
+        self._rng = np.random.default_rng(seed)
+
+        img_h, img_w = self.rig.img_shape
+        self.input_shape = (img_h * 8 // img_reduce, img_w * 8 // img_reduce)
+        self.Rimg_shape = (math.ceil(img_h / img_reduce), math.ceil(img_w / img_reduce))
+        self.Rworld_shape = self.rig.Rworld_shape(world_reduce)
+
+        all_frames = source.frames()
+        split = int(len(all_frames) * train_ratio)
+        self.frames = all_frames[:split] if train else all_frames[split:]
+        # semi-supervised keep flags over the *train* range (`frameDataset.py:94`)
+        self.keeps = {}
+        for frame in self.frames:
+            if self.semi_supervised:
+                frac_before = np.mean(np.asarray(self.frames) < frame)
+                self.keeps[frame] = bool(frac_before < self.semi_supervised)
+            else:
+                self.keeps[frame] = True
+
+    def __len__(self):
+        return len(self.frames)
+
+    # ------------------------------------------------------------------ item
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None) -> dict:
+        rng = rng or self._rng
+        frame = self.frames[index]
+        ann = self.source.annotation(frame)
+        keep = self.keeps[frame]
+        n = self.rig.num_cam
+
+        imgs, affine_mats, imgs_gt = [], [], []
+        for cam in range(n):
+            img = self.source.image(cam, frame)
+            bboxes = ann.bboxes[cam] if keep else np.zeros((0, 4))
+            pids = ann.bbox_pids[cam] if keep else np.zeros((0,), dtype=np.int64)
+            if self.augmentation:
+                img, bboxes, pids, M = random_affine(img, bboxes, pids, rng)
+            else:
+                M = np.eye(3)
+            img = _resize_bilinear_np(img, self.input_shape).astype(np.float32) / 255.0
+            imgs.append((img - IMAGENET_MEAN) / IMAGENET_STD)
+            affine_mats.append(M.astype(np.float32))
+
+            if len(bboxes):
+                foot_x = (bboxes[:, 0] + bboxes[:, 2]) / 2
+                foot_y = bboxes[:, 3]
+                w_s = bboxes[:, 2] - bboxes[:, 0]
+                h_s = bboxes[:, 3] - bboxes[:, 1]
+            else:
+                foot_x = foot_y = w_s = h_s = np.zeros((0,))
+                pids = np.zeros((0,), dtype=np.int64)
+            imgs_gt.append(
+                build_targets(
+                    self.Rimg_shape, foot_x, foot_y, w_s, h_s, pids,
+                    reduce=self.img_reduce, top_k=self.top_k, kernel_size=self.img_kernel_size,
+                )
+            )
+
+        imgs_gt = {k: np.stack([g[k] for g in imgs_gt]) for k in imgs_gt[0]}
+
+        # camera dropout: zero the dropped camera's GT (`frameDataset.py:226-231`)
+        if self.dropout and rng.random() < self.dropout:
+            drop_cam = int(rng.integers(0, n))
+            for k in imgs_gt:
+                imgs_gt[k][drop_cam] = 0
+
+        world_pts = ann.world_pts if keep else np.zeros((0, 2))
+        world_pids = ann.pids if keep else np.zeros((0,), dtype=np.int64)
+        world_gt = build_targets(
+            self.Rworld_shape,
+            world_pts[:, 0] if len(world_pts) else np.zeros((0,)),
+            world_pts[:, 1] if len(world_pts) else np.zeros((0,)),
+            pids=world_pids,
+            reduce=self.world_reduce,
+            top_k=self.top_k,
+            kernel_size=self.world_kernel_size,
+        )
+
+        return {
+            "imgs": np.stack(imgs),
+            "affine_mats": np.stack(affine_mats),
+            "world_gt": world_gt,
+            "imgs_gt": imgs_gt,
+            "frame": np.int64(frame),
+        }
+
+    # ------------------------------------------------------------------ eval
+    def gt_array(self) -> np.ndarray:
+        """MOT rows (frame, grid_x, grid_y) over this split (`frameDataset.py:155-175`)."""
+        rows = []
+        for frame in self.frames:
+            ann = self.source.annotation(frame)
+            for j in range(len(ann.pids)):
+                visible = any(
+                    len(ann.bbox_pids[cam]) and (ann.bbox_pids[cam] == ann.pids[j]).any()
+                    for cam in range(self.rig.num_cam)
+                )
+                if visible:
+                    rows.append([frame, ann.world_pts[j, 0], ann.world_pts[j, 1]])
+        return np.asarray(rows, dtype=np.float64).reshape(-1, 3)
+
+    # --------------------------------------------------------------- batching
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: Optional[bool] = None,
+        rng: Optional[np.random.Generator] = None,
+        num_workers: int = 0,
+        drop_last: Optional[bool] = None,
+    ) -> Iterator[dict]:
+        """Yield collated batches. ``drop_last`` defaults to True in training
+        so every step sees a full, jit-stable batch."""
+        shuffle = self.train if shuffle is None else shuffle
+        drop_last = self.train if drop_last is None else drop_last
+        rng = rng or self._rng
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        if drop_last:
+            order = order[: len(order) - len(order) % batch_size] if len(order) >= batch_size else order
+
+        def fetch(i):
+            return self.__getitem__(int(i), rng=np.random.default_rng(rng.integers(2**31)))
+
+        if num_workers > 0:
+            with ThreadPoolExecutor(num_workers) as pool:
+                items = pool.map(fetch, order)
+                chunk = []
+                for item in items:
+                    chunk.append(item)
+                    if len(chunk) == batch_size:
+                        yield collate(chunk)
+                        chunk = []
+                if chunk and not drop_last:
+                    yield collate(chunk)
+        else:
+            for start in range(0, len(order), batch_size):
+                chunk = [fetch(i) for i in order[start : start + batch_size]]
+                if len(chunk) == batch_size or not drop_last:
+                    yield collate(chunk)
+
+    def steps_per_epoch(self, batch_size: int) -> int:
+        n = len(self)
+        return n // batch_size if self.train else math.ceil(n / batch_size)
+
+
+def collate(samples) -> dict:
+    def stack(key_path, items):
+        return np.stack(items)
+
+    out = {
+        "imgs": np.stack([s["imgs"] for s in samples]),
+        "affine_mats": np.stack([s["affine_mats"] for s in samples]),
+        "frame": np.stack([s["frame"] for s in samples]),
+        "world_gt": {k: np.stack([s["world_gt"][k] for s in samples]) for k in samples[0]["world_gt"]},
+        "imgs_gt": {k: np.stack([s["imgs_gt"][k] for s in samples]) for k in samples[0]["imgs_gt"]},
+    }
+    return out
