@@ -1,0 +1,50 @@
+"""Train state construction."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from flax.training import train_state
+
+from mvdetr_tpu.train.optim import build_optimizer
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = struct.field(default=None)
+
+
+def create_train_state(
+    model,
+    sample_batch: dict,
+    lr: float = 5e-4,
+    total_steps: int = 1000,
+    base_lr_ratio: float = 0.1,
+    weight_decay: float = 1e-4,
+    seed: int = 2021,
+    backbone_variables: dict | None = None,
+) -> TrainState:
+    """Initialize parameters on a sample batch and build the optimizer.
+
+    ``backbone_variables`` optionally carries converted pretrained weights
+    (``{"params": ..., "batch_stats": ...}`` for the ``base`` module) — the
+    analogue of torchvision's ImageNet init (`models/resnet.py:211-217`).
+    """
+    rng = jax.random.PRNGKey(seed)
+    imgs = jnp.asarray(sample_batch["imgs"][:1])
+    aff = jnp.asarray(sample_batch["affine_mats"][:1])
+    variables = model.init({"params": rng, "dropout": rng}, imgs, aff, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    if backbone_variables is not None:
+        params = dict(params)
+        params["base"] = backbone_variables["params"]
+        if "batch_stats" in backbone_variables:
+            batch_stats = dict(batch_stats)
+            batch_stats["base"] = backbone_variables["batch_stats"]
+
+    tx = build_optimizer(params, lr, total_steps, base_lr_ratio, weight_decay)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)

@@ -1,0 +1,198 @@
+"""Training / evaluation engine.
+
+Loss and loop contracts from `/root/reference/multiview_detector/trainer.py`:
+
+- ``loss = world_focal + world_off_l1
+         + (img_focal + img_off_l1 + 0.1 * img_wh_l1) / N * alpha``
+  (`trainer.py:52-63`), or the MVDet MSE alternative (`trainer.py:64-66`),
+- test loop: dense decode of the sigmoided BEV heatmap + offsets, threshold at
+  ``cls_thres``, greedy 0.5 m NMS, CLEAR evaluation (`trainer.py:99-169`).
+
+TPU design: one jitted train step (donated state), one jitted eval step that
+also performs fixed-shape top-K candidate extraction + NMS on device; only the
+final [K, 3] candidate arrays cross to host.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvdetr_tpu import losses
+from mvdetr_tpu.evaluation import clear_metrics
+from mvdetr_tpu.ops import distance_nms, mvdet_decode
+
+
+def supervised_loss(outputs, batch, alpha: float = 1.0, use_mse: bool = False):
+    """Compose the MVDeTr loss (`trainer.py:52-66`). Returns (loss, aux)."""
+    (world_heatmap, world_offset), (imgs_heatmap, imgs_offset, imgs_wh) = outputs
+    wgt, igt = batch["world_gt"], batch["imgs_gt"]
+    b, n = igt["heatmap"].shape[:2]
+
+    def flat(x):  # [B, N, ...] -> [B*N, ...]
+        return x.reshape((b * n,) + x.shape[2:])
+
+    if use_mse:
+        loss = jnp.mean((world_heatmap - wgt["heatmap"]) ** 2) + alpha * jnp.mean(
+            (imgs_heatmap - flat(igt["heatmap"])) ** 2
+        )
+        return loss, {"loss": loss}
+
+    loss_w_hm = losses.focal_loss(world_heatmap, wgt["heatmap"])
+    loss_w_off = losses.reg_l1_loss(world_offset, wgt["reg_mask"], wgt["idx"], wgt["offset"])
+    loss_img_hm = losses.focal_loss(imgs_heatmap, flat(igt["heatmap"]))
+    loss_img_off = losses.reg_l1_loss(imgs_offset, flat(igt["reg_mask"]), flat(igt["idx"]), flat(igt["offset"]))
+    loss_img_wh = losses.reg_l1_loss(imgs_wh, flat(igt["reg_mask"]), flat(igt["idx"]), flat(igt["wh"]))
+
+    w_loss = loss_w_hm + loss_w_off
+    img_loss = loss_img_hm + loss_img_off + 0.1 * loss_img_wh
+    loss = w_loss + img_loss / n * alpha
+    return loss, {
+        "loss": loss,
+        "w_hm": loss_w_hm,
+        "w_off": loss_w_off,
+        "img_hm": loss_img_hm,
+        "img_off": loss_img_off,
+        "img_wh": loss_img_wh,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "use_mse"), donate_argnames=("state",))
+def train_step(state, batch, rng, alpha: float = 1.0, use_mse: bool = False):
+    def loss_fn(params):
+        outputs, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["imgs"],
+            batch["affine_mats"],
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        loss, aux = supervised_loss(outputs, batch, alpha, use_mse)
+        return loss, (aux, mutated["batch_stats"])
+
+    (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_stats)
+    return state, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("world_reduce", "num_candidates", "alpha", "use_mse", "nms_dist"),
+)
+def eval_step(
+    state,
+    batch,
+    world_reduce: int = 4,
+    num_candidates: int = 512,
+    alpha: float = 1.0,
+    use_mse: bool = False,
+    nms_dist: float = 20.0,
+):
+    """Forward + dense decode + on-device top-K NMS.
+
+    Returns (loss_aux, xys [B, K, 3], keep [B, K]) where xys rows are
+    (x, y, score) in full-resolution xy grid units, NMS-filtered with the
+    0.5 m radius (`trainer.py:121-135`).
+    """
+    outputs = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["imgs"],
+        batch["affine_mats"],
+        train=False,
+    )
+    loss, aux = supervised_loss(outputs, batch, alpha, use_mse)
+    (world_heatmap, world_offset), _ = outputs
+
+    score = jax.nn.sigmoid(world_heatmap)
+    xys = mvdet_decode(score, world_offset, reduce=world_reduce)  # [B, HW, 3]
+    k = min(num_candidates, xys.shape[1])
+    top_scores, top_idx = jax.lax.top_k(xys[:, :, 2], k)
+    top_xy = jnp.take_along_axis(xys[:, :, :2], top_idx[..., None], axis=1)
+
+    keep = jax.vmap(lambda pts, sc: distance_nms(pts, sc, nms_dist))(top_xy, top_scores)
+    return aux, jnp.concatenate([top_xy, top_scores[..., None]], axis=-1), keep
+
+
+class Trainer:
+    """Epoch-level driver (host side): data iteration, logging, CLEAR eval."""
+
+    def __init__(
+        self,
+        state,
+        dataset_train,
+        dataset_test,
+        cls_thres: float = 0.4,
+        alpha: float = 1.0,
+        use_mse: bool = False,
+        nms_top_k: int = 512,
+        logger=print,
+    ):
+        self.state = state
+        self.train_set = dataset_train
+        self.test_set = dataset_test
+        self.cls_thres = cls_thres
+        self.alpha = alpha
+        self.use_mse = use_mse
+        self.nms_top_k = nms_top_k
+        self.log = logger
+        self._rng = jax.random.PRNGKey(0)
+
+    def train_epoch(self, epoch: int, batch_size: int = 1, log_interval: int = 100) -> float:
+        t0 = time.time()
+        total, count = 0.0, 0
+        for batch in self.train_set.batches(batch_size):
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, aux = train_step(self.state, batch, step_rng, self.alpha, self.use_mse)
+            total += float(aux["loss"])
+            count += 1
+            if count % log_interval == 0:
+                self.log(f"Train epoch {epoch} batch {count}: loss {total / count:.6f}, t {time.time() - t0:.1f}s")
+        self.log(f"Train epoch {epoch} done: loss {total / max(count, 1):.6f}, t {time.time() - t0:.1f}s")
+        return total / max(count, 1)
+
+    def test(self, batch_size: int = 1, res_fpath: Optional[str] = None):
+        t0 = time.time()
+        total, count = 0.0, 0
+        rows = []
+        indexing_ij = self.train_set.rig.indexing == "ij"
+        for batch in self.test_set.batches(batch_size, shuffle=False, drop_last=False):
+            aux, xys, keep = eval_step(
+                self.state,
+                batch,
+                world_reduce=self.test_set.world_reduce,
+                num_candidates=self.nms_top_k,
+                alpha=self.alpha,
+                use_mse=self.use_mse,
+            )
+            total += float(aux["loss"])
+            count += 1
+            xys = np.asarray(xys)
+            keep = np.asarray(keep)
+            for b in range(xys.shape[0]):
+                sel = keep[b] & (xys[b, :, 2] > self.cls_thres)
+                pos = xys[b, sel, :2]
+                if indexing_ij:  # grid (x, y) -> dataset-native (`trainer.py:125-128`)
+                    pos = pos[:, [1, 0]]
+                frame = int(batch["frame"][b])
+                for p in pos:
+                    rows.append([frame, p[0], p[1]])
+
+        det = np.asarray(rows, dtype=np.float64).reshape(-1, 3)
+        if res_fpath is not None:
+            np.savetxt(res_fpath, det, "%d")
+        gt = self.test_set.gt_array()
+        # CLEAR matches on the integer-truncated rows as written to test.txt
+        # via np.savetxt('%d') (`trainer.py:158-159`)
+        recall, precision, moda, modp = clear_metrics(gt, np.floor(det) if len(det) else det)
+        self.log(
+            f"Test: loss {total / max(count, 1):.6f}, moda {moda:.1f}%, modp {modp:.1f}%, "
+            f"prec {precision:.1f}%, recall {recall:.1f}%, t {time.time() - t0:.1f}s"
+        )
+        return total / max(count, 1), moda, modp, precision, recall
