@@ -1,0 +1,79 @@
+"""Benchmark: flagship MVDeTr training throughput on one chip.
+
+Measures steady-state full training steps (forward + backward + Adam update)
+at Wildtrack scale — 7 cameras, 720x1280 input, 120x360 BEV grid, shadow
+transformer — in frame-sets per second on the attached TPU.
+
+Baseline note: the reference repo publishes no throughput (SURVEY §6). The
+``vs_baseline`` denominator is an estimate of the reference implementation's
+single-RTX-2080TI training throughput at the same workload, 1.4 frame-sets/s
+(batch-1 step ~0.7 s: resnet18 over 7x720x1280 + 3 deformable layers over
+75.6k tokens + backward on an 11 GB part; consistent with the repo's
+single-GPU per-epoch wall-clock claims at `README.md:15`). Update when a
+measured GPU number exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mvdetr_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+BASELINE_TRAIN_FPS = 1.4  # estimated reference (RTX 2080TI) frame-sets/s, see module docstring
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from mvdetr_tpu.data import FrameDataset, SyntheticScene
+    from mvdetr_tpu.geometry import make_synthetic_rig
+    from mvdetr_tpu.models import MVDeTr
+    from mvdetr_tpu.train import create_train_state, train_step
+
+    # Wildtrack-scale synthetic rig: 7 cams, 1080x1920 frames (resized to
+    # 720x1280 by img_reduce=12), 480x1440 grid -> 120x360 BEV.
+    rig = make_synthetic_rig(
+        num_cam=7, img_shape=(1080, 1920), worldgrid_shape=(480, 1440),
+        cell_meters=0.025, indexing="ij", worldcoord_unit=0.01, origin_offset=(-300.0, -900.0),
+        camera_height_m=6.0, camera_margin_m=4.0, name="BenchWildtrack",
+    )
+    scene = SyntheticScene(rig, num_frame=4, num_person=20, seed=0)
+    ds = FrameDataset(scene, train=True, world_reduce=4, img_reduce=12, top_k=100)
+    batch = next(ds.batches(batch_size=1))
+
+    model = MVDeTr.from_rig(rig, world_reduce=4, img_reduce=12, world_feat_arch="deform_trans")
+    state = create_train_state(model, batch, lr=5e-4, total_steps=100)
+
+    rng = jax.random.PRNGKey(0)
+    # warmup (compile)
+    state, aux = train_step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    state, aux = train_step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        state, aux = train_step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    dt = (time.time() - t0) / iters
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "train_framesets_per_s_per_chip",
+        "value": round(fps, 3),
+        "unit": "frame-sets/s (7 cams, 720x1280, deform_trans, batch 1)",
+        "vs_baseline": round(fps / BASELINE_TRAIN_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

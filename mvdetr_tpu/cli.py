@@ -1,0 +1,205 @@
+"""Experiment driver CLI — the `main.py` equivalent.
+
+Flag surface and behaviors from `/root/reference/main.py:150-186`:
+config-encoded logdir names (`main.py:77-82`), stdout tee to ``log.txt``,
+per-epoch checkpoint + test, ``--resume`` (weights-only reload, then test),
+seeded determinism. New over the reference: ``--dataset synthetic`` (no assets
+needed), mesh flags (``--view_shards``) for multi-chip runs, full-train-state
+checkpointing.
+
+Usage::
+
+    python -m mvdetr_tpu.cli -d wildtrack --epochs 10
+    python -m mvdetr_tpu.cli -d synthetic --epochs 3 --world_feat conv --use_mse true
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="TPU-native multiview detector")
+    parser.add_argument("--reID", action="store_true")
+    parser.add_argument("--semi_supervised", type=float, default=0)
+    parser.add_argument("--id_ratio", type=float, default=0)
+    parser.add_argument("--cls_thres", type=float, default=0.6)
+    parser.add_argument("--alpha", type=float, default=1.0, help="ratio for per view loss")
+    parser.add_argument("--use_mse", type=str2bool, default=False)
+    parser.add_argument("--arch", type=str, default="resnet18", choices=["vgg11", "resnet18"])
+    parser.add_argument("-d", "--dataset", type=str, default="wildtrack",
+                        choices=["wildtrack", "multiviewx", "synthetic"])
+    parser.add_argument("-j", "--num_workers", type=int, default=4)
+    parser.add_argument("-b", "--batch_size", type=int, default=1)
+    parser.add_argument("--dropout", type=float, default=0.0)
+    parser.add_argument("--dropcam", type=float, default=0.0)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--base_lr_ratio", type=float, default=0.1)
+    parser.add_argument("--weight_decay", type=float, default=1e-4)
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--visualize", action="store_true")
+    parser.add_argument("--seed", type=int, default=2021)
+    parser.add_argument("--deterministic", type=str2bool, default=False)
+    parser.add_argument("--augmentation", type=str2bool, default=True)
+    parser.add_argument("--world_feat", type=str, default="deform_trans",
+                        choices=["conv", "trans", "deform_conv", "deform_trans", "aio"])
+    parser.add_argument("--bottleneck_dim", type=int, default=128)
+    parser.add_argument("--outfeat_dim", type=int, default=0)
+    parser.add_argument("--world_reduce", type=int, default=4)
+    parser.add_argument("--world_kernel_size", type=int, default=10)
+    parser.add_argument("--img_reduce", type=int, default=12)
+    parser.add_argument("--img_kernel_size", type=int, default=10)
+    # TPU-native additions
+    parser.add_argument("--view_shards", type=int, default=1, help="devices along the view mesh axis")
+    parser.add_argument("--backbone_ckpt", type=str, default=None,
+                        help="torchvision resnet18 .pth/.npz for ImageNet init")
+    parser.add_argument("--data_root", type=str, default=None)
+    # synthetic-scene sizing (dataset == synthetic only)
+    parser.add_argument("--synthetic_cams", type=int, default=4)
+    parser.add_argument("--synthetic_frames", type=int, default=60)
+    parser.add_argument("--synthetic_img", type=int, nargs=2, default=(180, 320))
+    parser.add_argument("--synthetic_grid", type=int, nargs=2, default=(120, 240))
+    return parser
+
+
+def main(args=None):
+    from mvdetr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import numpy as np
+
+    from mvdetr_tpu.data import FrameDataset, SyntheticScene, open_scene
+    from mvdetr_tpu.geometry import make_synthetic_rig
+    from mvdetr_tpu.models import MVDeTr, load_torchvision_state_dict
+    from mvdetr_tpu.train import (
+        Trainer, create_train_state, restore_weights, save_checkpoint,
+    )
+    from mvdetr_tpu.utils.logger import Logger
+
+    args = build_parser().parse_args(args)
+
+    if args.dataset == "synthetic":
+        rig = make_synthetic_rig(
+            num_cam=args.synthetic_cams,
+            img_shape=tuple(args.synthetic_img),
+            worldgrid_shape=tuple(args.synthetic_grid),
+        )
+        scene = SyntheticScene(rig, num_frame=args.synthetic_frames, num_person=8, seed=args.seed)
+    else:
+        scene = open_scene(args.data_root or args.dataset)
+        rig = scene.rig
+
+    common = dict(
+        world_reduce=args.world_reduce, img_reduce=args.img_reduce,
+        world_kernel_size=args.world_kernel_size, img_kernel_size=args.img_kernel_size,
+        seed=args.seed,
+    )
+    train_set = FrameDataset(scene, train=True, semi_supervised=args.semi_supervised,
+                             dropout=args.dropcam, augmentation=args.augmentation, **common)
+    test_set = FrameDataset(scene, train=False, **common)
+
+    # logdir convention (`main.py:77-89`)
+    if args.resume is None:
+        logdir = (
+            f"logs/{args.dataset}/{'SS_' if args.semi_supervised else ''}"
+            f"{'aug_' if args.augmentation else ''}{args.world_feat}_lr{args.lr}_baseR{args.base_lr_ratio}_"
+            f"neck{args.bottleneck_dim}_out{args.outfeat_dim}_"
+            f"alpha{args.alpha}_id{args.id_ratio}_drop{args.dropout}_dropcam{args.dropcam}_"
+            f"worldRK{args.world_reduce}_{args.world_kernel_size}_imgRK{args.img_reduce}_{args.img_kernel_size}_"
+            f"{datetime.datetime.today():%Y-%m-%d_%H-%M-%S}"
+        )
+        os.makedirs(logdir, exist_ok=True)
+        sys.stdout = Logger(os.path.join(logdir, "log.txt"))
+    else:
+        logdir = f"logs/{args.dataset}/{args.resume}"
+    print(logdir)
+    print("Settings:")
+    print(vars(args))
+
+    model = MVDeTr.from_rig(
+        rig, world_reduce=args.world_reduce, img_reduce=args.img_reduce, arch=args.arch,
+        world_feat_arch=args.world_feat, bottleneck_dim=args.bottleneck_dim,
+        outfeat_dim=args.outfeat_dim, dropout=args.dropout,
+    )
+
+    backbone_vars = None
+    if args.backbone_ckpt:
+        if args.backbone_ckpt.endswith(".npz"):
+            backbone_vars = load_torchvision_state_dict(dict(np.load(args.backbone_ckpt)))
+        else:
+            import torch
+
+            backbone_vars = load_torchvision_state_dict(torch.load(args.backbone_ckpt, map_location="cpu"))
+
+    steps_per_epoch = train_set.steps_per_epoch(args.batch_size)
+    sample = next(train_set.batches(args.batch_size))
+    state = create_train_state(
+        model, sample, lr=args.lr, total_steps=steps_per_epoch * args.epochs,
+        base_lr_ratio=args.base_lr_ratio, weight_decay=args.weight_decay, seed=args.seed,
+        backbone_variables=backbone_vars,
+    )
+
+    trainer = Trainer(state, train_set, test_set, cls_thres=args.cls_thres, alpha=args.alpha,
+                      use_mse=args.use_mse)
+    res_fpath = os.path.join(logdir, "test.txt")
+    ckpt_dir = os.path.join(logdir, "checkpoints")
+
+    history = {"epoch": [], "train_loss": [], "test_loss": [], "moda": []}
+    if args.resume is None:
+        for epoch in range(1, args.epochs + 1):
+            print(f"=== epoch {epoch}/{args.epochs} ===")
+            train_loss = trainer.train_epoch(epoch, batch_size=args.batch_size)
+            test_loss, moda, modp, prec, recall = trainer.test(batch_size=args.batch_size,
+                                                               res_fpath=res_fpath)
+            history["epoch"].append(epoch)
+            history["train_loss"].append(train_loss)
+            history["test_loss"].append(test_loss)
+            history["moda"].append(moda)
+            save_checkpoint(ckpt_dir, trainer.state)
+            _draw_curve(os.path.join(logdir, "learning_curve.jpg"), history)
+    else:
+        trainer.state = restore_weights(ckpt_dir, trainer.state)
+    print("Test loaded model...")
+    trainer.test(batch_size=args.batch_size, res_fpath=res_fpath)
+    return trainer
+
+
+def _draw_curve(path: str, history: dict):
+    """Per-epoch loss/MODA plot (`utils/draw_curve.py:7-18`); optional."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax1 = plt.subplots()
+        ax1.plot(history["epoch"], history["train_loss"], "b-", label="train loss")
+        ax1.plot(history["epoch"], history["test_loss"], "r-", label="test loss")
+        ax1.legend(loc="upper left")
+        ax2 = ax1.twinx()
+        ax2.plot(history["epoch"], history["moda"], "g-", label="MODA %")
+        ax2.legend(loc="upper right")
+        fig.savefig(path)
+        plt.close(fig)
+    except Exception:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""Persistent XLA compilation cache.
+
+TPU compiles of the full model take minutes over the remote-compile tunnel;
+the persistent cache makes every entry point (bench, CLI, driver compile
+checks) fast after the first run.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                                 ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags
