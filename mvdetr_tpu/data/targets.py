@@ -64,17 +64,22 @@ def build_targets(
     wh = np.zeros([top_k, 2], dtype=np.float32)
 
     n = len(x_s)
+    centers = []
     for k in range(min(n, top_k)):
         ct = np.array([x_s[k] / reduce, y_s[k] / reduce], dtype=np.float32)
         if 0 <= ct[0] < wid and 0 <= ct[1] < hgt:
             ct_int = ct.astype(np.int32)
-            splat_gaussian(heatmap[:, :, 0], ct_int, kernel_size / reduce)
+            centers.append(ct_int)
             reg_mask[k] = True
             idx[k] = ct_int[1] * wid + ct_int[0]
             pid[k] = pids[k] if pids is not None else 0
             offset[k] = ct - ct_int
             if w_s is not None and h_s is not None:
                 wh[k] = [w_s[k] / reduce, h_s[k] / reduce]
+    if centers:
+        from mvdetr_tpu import native
+
+        native.splat_gaussian(heatmap[:, :, 0], np.stack(centers), kernel_size / reduce)
 
     out = {"heatmap": heatmap, "reg_mask": reg_mask, "idx": idx, "pid": pid, "offset": offset}
     if w_s is not None and h_s is not None:
