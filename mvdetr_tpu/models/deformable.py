@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mvdetr_tpu.ops.msda import ms_deform_attn, ms_deform_attn_same_shape
+from mvdetr_tpu.ops.msda_windowed import ms_deform_attn_windowed
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
@@ -40,16 +41,29 @@ def radial_offset_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray
 
 
 class MSDeformAttn(nn.Module):
+    """``mode``:
+
+    - ``'gather'``: faithful reference semantics — arbitrary reference points,
+      XLA-gather sampling (`ops/msda.py`),
+    - ``'windowed'``: the TPU fast path (`ops/msda_windowed.py`) — dense
+      shifted-window sampling, exact for identity reference points with
+      offsets clamped to ``radius`` cells. Requires same-shape levels and
+      queries that are aligned copies of the level grid.
+    """
+
     d_model: int = 128
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    dtype: object = None
+    mode: str = "gather"
+    radius: int = 4
 
     @nn.compact
     def __call__(
         self,
         query: jnp.ndarray,  # [B, Q, C]
-        reference_points: jnp.ndarray,  # [B, Q, L, 2] or [B, Q, L, P, 2]
+        reference_points: jnp.ndarray,  # [B, Q, L, 2] or [B, Q, L, P, 2]; ignored in windowed mode
         input_flatten: jnp.ndarray,  # [B, S, C]
         spatial_shapes: Sequence[Tuple[int, int]],
     ) -> jnp.ndarray:
@@ -59,35 +73,48 @@ class MSDeformAttn(nn.Module):
         s = input_flatten.shape[1]
         assert sum(int(h) * int(w) for h, w in spatial_shapes) == s
 
-        value = nn.Dense(self.d_model, kernel_init=xavier_uniform, name="value_proj")(input_flatten)
+        value = nn.Dense(self.d_model, kernel_init=xavier_uniform, dtype=self.dtype,
+                         name="value_proj")(input_flatten)
         value = value.reshape(b, s, m, d)
 
         offsets = nn.Dense(
             m * l * p * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda *_: jnp.asarray(radial_offset_bias(m, l, p)),
+            dtype=self.dtype,
             name="sampling_offsets",
-        )(query).reshape(b, q, m, l, p, 2)
+        )(query).reshape(b, q, m, l, p, 2).astype(jnp.float32)
         weights = nn.Dense(
-            m * l * p, kernel_init=nn.initializers.zeros, name="attention_weights"
+            m * l * p, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="attention_weights"
         )(query).reshape(b, q, m, l * p)
-        weights = nn.softmax(weights, axis=-1).reshape(b, q, m, l, p)
-
-        normalizer = jnp.asarray([[float(w_), float(h_)] for h_, w_ in spatial_shapes], dtype=query.dtype)
-        if reference_points.ndim == 4:  # [B, Q, L, 2]
-            ref = reference_points[:, :, None, :, None, :]
-        elif reference_points.ndim == 5:  # [B, Q, L, P, 2] — MVDeTr per-point refs
-            ref = reference_points[:, :, None, :, :, :]
-        else:
-            raise ValueError(f"bad reference_points rank: {reference_points.shape}")
-        locations = ref + offsets / normalizer[None, None, None, :, None, :]
+        # softmax in f32 for stability, sampling weights cast to the value dtype
+        weights = nn.softmax(weights.astype(jnp.float32), axis=-1).reshape(b, q, m, l, p)
+        weights = weights.astype(value.dtype)
 
         shapes = tuple((int(h_), int(w_)) for h_, w_ in spatial_shapes)
-        if len(set(shapes)) == 1:
-            out = ms_deform_attn_same_shape(value, shapes[0], len(shapes), locations, weights)
+        if self.mode == "windowed":
+            h_, w_ = shapes[0]
+            assert len(set(shapes)) == 1 and q % (h_ * w_) == 0, "windowed mode needs aligned grids"
+            c = q // (h_ * w_)
+            v = value.reshape(b, l, h_, w_, m, d)  # S is level-major
+            off = offsets.reshape(b, c, h_, w_, m, l, p, 2)
+            wgt = weights.reshape(b, c, h_, w_, m, l, p)
+            out = ms_deform_attn_windowed(v, off, wgt, radius=self.radius)
         else:
-            out = ms_deform_attn(value, shapes, locations, weights)
-        return nn.Dense(self.d_model, kernel_init=xavier_uniform, name="output_proj")(out)
+            normalizer = jnp.asarray([[float(w2), float(h2)] for h2, w2 in shapes], dtype=jnp.float32)
+            if reference_points.ndim == 4:  # [B, Q, L, 2]
+                ref = reference_points[:, :, None, :, None, :]
+            elif reference_points.ndim == 5:  # [B, Q, L, P, 2] — MVDeTr per-point refs
+                ref = reference_points[:, :, None, :, :, :]
+            else:
+                raise ValueError(f"bad reference_points rank: {reference_points.shape}")
+            locations = ref + offsets / normalizer[None, None, None, :, None, :]
+            if len(set(shapes)) == 1:
+                out = ms_deform_attn_same_shape(value, shapes[0], len(shapes), locations, weights)
+            else:
+                out = ms_deform_attn(value, shapes, locations, weights)
+        return nn.Dense(self.d_model, kernel_init=xavier_uniform, dtype=self.dtype,
+                        name="output_proj")(out)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -99,20 +126,25 @@ class DeformableEncoderLayer(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    dtype: object = None
+    mode: str = "gather"
+    radius: int = 4
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, train: bool = True):
         q = src if pos is None else src + pos
-        attn = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points, name="self_attn")(
+        attn = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
+                            dtype=self.dtype, mode=self.mode, radius=self.radius,
+                            name="self_attn")(
             q, reference_points, src, spatial_shapes
         )
         src = src + nn.Dropout(self.dropout, deterministic=not train)(attn)
-        src = nn.LayerNorm(name="norm1")(src)
-        y = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, name="linear1")(src)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        y = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, dtype=self.dtype, name="linear1")(src)
         y = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(y))
-        y = nn.Dense(self.d_model, kernel_init=xavier_uniform, name="linear2")(y)
+        y = nn.Dense(self.d_model, kernel_init=xavier_uniform, dtype=self.dtype, name="linear2")(y)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.LayerNorm(name="norm2")(src)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
 
 
 def grid_reference_points(spatial_shapes) -> np.ndarray:
@@ -143,6 +175,9 @@ class DeformableEncoder(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     reference_points: Optional[np.ndarray] = None
+    dtype: object = None
+    mode: str = "gather"
+    radius: int = 4
 
     @nn.compact
     def __call__(self, src, spatial_shapes, pos=None, train: bool = True):
@@ -157,6 +192,6 @@ class DeformableEncoder(nn.Module):
         for i in range(self.num_layers):
             out = DeformableEncoderLayer(
                 self.d_model, self.d_ffn, self.dropout, self.n_levels, self.n_heads, self.n_points,
-                name=f"layer{i}",
+                dtype=self.dtype, mode=self.mode, radius=self.radius, name=f"layer{i}",
             )(out, pos, ref, spatial_shapes, train)
         return out

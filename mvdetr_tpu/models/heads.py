@@ -18,11 +18,17 @@ class OutputHead(nn.Module):
     out_dim: int
     feat_dim: int = 0
     final_bias: float = 0.0
+    dtype: object = None  # compute dtype; logits are returned in float32
 
     @nn.compact
     def __call__(self, x):
         if self.feat_dim:
-            x = nn.relu(nn.Conv(self.feat_dim, (3, 3), padding=[(1, 1)] * 2, name="neck")(x))
-        return nn.Conv(
-            self.out_dim, (1, 1), bias_init=nn.initializers.constant(self.final_bias), name="proj"
+            x = nn.relu(nn.Conv(self.feat_dim, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
+                                name="neck")(x))
+        out = nn.Conv(
+            self.out_dim, (1, 1), bias_init=nn.initializers.constant(self.final_bias),
+            dtype=self.dtype, name="proj"
         )(x)
+        import jax.numpy as jnp
+
+        return out.astype(jnp.float32)

@@ -43,6 +43,9 @@ class MVDeTr(nn.Module):
     dropout: float = 0.0
     reference_points: Optional[np.ndarray] = None  # [N*Hs*Ws, N, P, 2] for deform_trans
     n_points: int = 4
+    compute_dtype: object = None  # e.g. jnp.bfloat16; params and losses stay f32
+    attn_mode: str = "auto"  # deformable sampling: 'auto' | 'gather' | 'windowed'
+    attn_radius: int = 4
 
     @classmethod
     def from_rig(
@@ -56,6 +59,9 @@ class MVDeTr(nn.Module):
         outfeat_dim: int = 0,
         dropout: float = 0.0,
         n_points: int = 4,
+        compute_dtype=None,
+        attn_mode: str = "auto",
+        attn_radius: int = 4,
     ) -> "MVDeTr":
         """Build from a :class:`CameraRig`, deriving projection matrices and
         reference maps (`mvdetr.py:82-95,129-130`)."""
@@ -75,6 +81,9 @@ class MVDeTr(nn.Module):
             dropout=dropout,
             reference_points=ref,
             n_points=n_points,
+            compute_dtype=compute_dtype,
+            attn_mode=attn_mode,
+            attn_radius=attn_radius,
         )
 
     @nn.compact
@@ -90,7 +99,8 @@ class MVDeTr(nn.Module):
         # two-group optimizer keys on (`main.py:100-104`)
         if self.arch == "resnet18":
             feat = ResNetFeatures(
-                stage_sizes=(2, 2, 2, 2), replace_stride_with_dilation=(False, True, True), name="base"
+                stage_sizes=(2, 2, 2, 2), replace_stride_with_dilation=(False, True, True),
+                dtype=self.compute_dtype, name="base"
             )(x, train)
         elif self.arch == "vgg11":
             feat = VGG11Features(name="base")(x, train)
@@ -98,14 +108,15 @@ class MVDeTr(nn.Module):
             raise ValueError(f"unsupported arch: {self.arch}")
 
         if self.bottleneck_dim:
-            feat = nn.Conv(self.bottleneck_dim, (1, 1), name="bottleneck")(feat)
+            feat = nn.Conv(self.bottleneck_dim, (1, 1), dtype=self.compute_dtype, name="bottleneck")(feat)
             # Dropout2d: drop whole channels across space (`mvdetr.py:110`)
             feat = nn.Dropout(self.dropout, broadcast_dims=(1, 2), deterministic=not train)(feat)
 
         # per-view heads on the [B*N, Hf, Wf, C] maps
-        imgs_heatmap = OutputHead(1, self.outfeat_dim, HEATMAP_BIAS_INIT, name="img_heatmap")(feat)
-        imgs_offset = OutputHead(2, self.outfeat_dim, name="img_offset")(feat)
-        imgs_wh = OutputHead(2, self.outfeat_dim, name="img_wh")(feat)
+        imgs_heatmap = OutputHead(1, self.outfeat_dim, HEATMAP_BIAS_INIT, dtype=self.compute_dtype,
+                                  name="img_heatmap")(feat)
+        imgs_offset = OutputHead(2, self.outfeat_dim, dtype=self.compute_dtype, name="img_offset")(feat)
+        imgs_wh = OutputHead(2, self.outfeat_dim, dtype=self.compute_dtype, name="img_wh")(feat)
 
         # projection: feature grid -> image px (x img_reduce) -> un-augment -> BEV
         proj = jnp.asarray(self.proj_mats, dtype=jnp.float32)  # [N, 3, 3]
@@ -126,9 +137,13 @@ class MVDeTr(nn.Module):
             base_dim=self.bottleneck_dim or 512,
             reference_points=self.reference_points,
             n_points=self.n_points,
+            dtype=self.compute_dtype,
+            attn_mode=self.attn_mode,
+            attn_radius=self.attn_radius,
         )(world_in, train)
 
-        world_heatmap = OutputHead(1, self.outfeat_dim, HEATMAP_BIAS_INIT, name="world_heatmap")(world_feat)
-        world_offset = OutputHead(2, self.outfeat_dim, name="world_offset")(world_feat)
+        world_heatmap = OutputHead(1, self.outfeat_dim, HEATMAP_BIAS_INIT, dtype=self.compute_dtype,
+                                   name="world_heatmap")(world_feat)
+        world_offset = OutputHead(2, self.outfeat_dim, dtype=self.compute_dtype, name="world_offset")(world_feat)
 
         return (world_heatmap, world_offset), (imgs_heatmap, imgs_offset, imgs_wh)

@@ -36,11 +36,12 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation_conv1: int = 1
     use_projection: bool = False
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name
         )
         identity = x
         y = nn.Conv(
@@ -50,15 +51,18 @@ class BasicBlock(nn.Module):
             padding=[(self.dilation_conv1,) * 2] * 2,
             kernel_dilation=(self.dilation_conv1, self.dilation_conv1),
             use_bias=False,
+            dtype=self.dtype,
             name="conv1",
         )(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
         y = norm("bn2")(y)
         if self.use_projection:
             identity = nn.Conv(
-                self.features, (1, 1), strides=(self.stride, self.stride), use_bias=False, name="downsample_conv"
+                self.features, (1, 1), strides=(self.stride, self.stride), use_bias=False,
+                dtype=self.dtype, name="downsample_conv"
             )(x)
             identity = norm("downsample_bn")(identity)
         return nn.relu(y + identity)
@@ -69,11 +73,16 @@ class ResNetFeatures(nn.Module):
 
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     replace_stride_with_dilation: Sequence[bool] = (False, True, True)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -93,6 +102,7 @@ class ResNetFeatures(nn.Module):
                     stride=stride if first else 1,
                     dilation_conv1=previous_dilation if first else dilation,
                     use_projection=first and (stride != 1 or in_features != features),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
             in_features = features

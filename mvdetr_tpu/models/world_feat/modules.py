@@ -45,13 +45,13 @@ class ConvWorldFeat(nn.Module):
     hidden_dim: int = 128
     stride: int = 2
     reduction: Optional[str] = None  # None -> concat views, 'sum' -> add views
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         b, n, h, w, c = x.shape
-        y = nn.Conv(self.hidden_dim, (3, 3), strides=(self.stride,) * 2, name="downsample")(
-            x.reshape(b * n, h, w, c)
-        )
+        y = nn.Conv(self.hidden_dim, (3, 3), strides=(self.stride,) * 2, dtype=self.dtype,
+                    name="downsample")(x.reshape(b * n, h, w, c))
         y = nn.relu(y)
         hs, ws = y.shape[1:3]
         if self.reduction is None:
@@ -60,15 +60,16 @@ class ConvWorldFeat(nn.Module):
             y = y.reshape(b, n, hs, ws, self.hidden_dim).sum(axis=1)
         else:
             raise ValueError(self.reduction)
-        cmap = jnp.broadcast_to(jnp.asarray(coord_map((hs, ws))), (b, hs, ws, 2))
+        cmap = jnp.broadcast_to(jnp.asarray(coord_map((hs, ws)), dtype=y.dtype), (b, hs, ws, 2))
         y = jnp.concatenate([y, cmap], axis=-1)
         for i, dil in enumerate((1, 2, 4)):
             y = nn.Conv(
-                self.hidden_dim, (3, 3), padding=[(dil, dil)] * 2, kernel_dilation=(dil, dil), name=f"feat{i}"
+                self.hidden_dim, (3, 3), padding=[(dil, dil)] * 2, kernel_dilation=(dil, dil),
+                dtype=self.dtype, name=f"feat{i}"
             )(y)
             y = nn.relu(y)
         y = _resize_bilinear(y, self.world_shape)
-        y = nn.Conv(self.base_dim, (3, 3), padding=[(1, 1)] * 2, name="out")(y)
+        y = nn.Conv(self.base_dim, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="out")(y)
         return nn.relu(y)
 
 
@@ -80,24 +81,26 @@ class TransformerWorldFeat(nn.Module):
     nhead: int = 8
     dim_feedforward: int = 512
     dropout: float = 0.1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         b, n, h, w, c = x.shape
         y = jnp.moveaxis(x, 1, 3).reshape(b, h, w, n * c)
-        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), strides=(2, 2), name="down0")(y))
-        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), strides=(2, 2), name="down1")(y))
+        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), strides=(2, 2), dtype=self.dtype, name="down0")(y))
+        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), strides=(2, 2), dtype=self.dtype, name="down1")(y))
         hs, ws = y.shape[1:3]
-        pos = jnp.asarray(sine_pos_embedding((hs, ws), self.hidden_dim // 2)).reshape(1, hs * ws, self.hidden_dim)
+        pos = jnp.asarray(sine_pos_embedding((hs, ws), self.hidden_dim // 2),
+                          dtype=y.dtype).reshape(1, hs * ws, self.hidden_dim)
         tokens = y.reshape(b, hs * ws, self.hidden_dim)
         tokens = TransformerEncoder(3, self.hidden_dim, self.nhead, self.dim_feedforward, self.dropout,
                                     name="encoder")(tokens, pos, train)
         y = tokens.reshape(b, hs, ws, self.hidden_dim)
         mid = (int(np.ceil(self.world_shape[0] / 2)), int(np.ceil(self.world_shape[1] / 2)))
         y = _resize_bilinear(y, mid)
-        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), padding=[(1, 1)] * 2, name="up0")(y))
+        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="up0")(y))
         y = _resize_bilinear(y, self.world_shape)
-        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), padding=[(1, 1)] * 2, name="up1")(y))
+        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="up1")(y))
         return y
 
 
@@ -119,20 +122,40 @@ class DeformTransWorldFeat(nn.Module):
     n_points: int = 4
     stride: int = 2
     reference_points: Optional[np.ndarray] = None
+    dtype: object = None
+    attn_mode: str = "auto"  # 'auto' | 'gather' | 'windowed'
+    attn_radius: int = 4
+
+    def _resolve_mode(self, hs: int, ws: int) -> str:
+        """'auto' -> windowed when the reference map is the identity grid
+        (the n_points=4, all-z=0 flagship case, `mvdetr.py:39-40`)."""
+        if self.attn_mode != "auto":
+            return self.attn_mode
+        if self.reference_points is None:
+            return "gather"
+        ref = np.asarray(self.reference_points)
+        ys, xs = np.meshgrid(np.linspace(0.5, hs - 0.5, hs) / hs,
+                             np.linspace(0.5, ws - 0.5, ws) / ws, indexing="ij")
+        ident = np.stack([xs, ys], -1).reshape(-1, 2)
+        ident = np.tile(ident[None, :, None, None, :],
+                        (ref.shape[0] // (hs * ws), 1, ref.shape[1], ref.shape[2], 1)).reshape(ref.shape)
+        return "windowed" if np.allclose(ref, ident, atol=1e-3) else "gather"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         b, n, h, w, c = x.shape
         y = nn.Conv(
-            self.hidden_dim, (3, 3), strides=(self.stride,) * 2, kernel_init=xavier_uniform, name="downsample"
+            self.hidden_dim, (3, 3), strides=(self.stride,) * 2, kernel_init=xavier_uniform,
+            dtype=self.dtype, name="downsample"
         )(x.reshape(b * n, h, w, c))
         y = nn.relu(y)
         hs, ws = y.shape[1:3]
 
         tokens = y.reshape(b, n * hs * ws, self.hidden_dim)
-        pos = jnp.asarray(sine_pos_embedding((hs, ws), self.hidden_dim // 2)).reshape(1, 1, hs * ws, self.hidden_dim)
+        pos = jnp.asarray(sine_pos_embedding((hs, ws), self.hidden_dim // 2),
+                          dtype=y.dtype).reshape(1, 1, hs * ws, self.hidden_dim)
         lvl = self.param("lvl_embedding", nn.initializers.normal(1.0), (self.num_cam, self.hidden_dim))
-        pos_lvl = (pos + lvl[None, :, None, :]).reshape(1, n * hs * ws, self.hidden_dim)
+        pos_lvl = (pos + lvl[None, :, None, :].astype(y.dtype)).reshape(1, n * hs * ws, self.hidden_dim)
 
         spatial_shapes = tuple(((hs, ws),) * n)
         tokens = DeformableEncoder(
@@ -144,15 +167,19 @@ class DeformTransWorldFeat(nn.Module):
             n_heads=self.nhead,
             n_points=self.n_points,
             reference_points=self.reference_points,
+            dtype=self.dtype,
+            mode=self._resolve_mode(hs, ws),
+            radius=self.attn_radius,
             name="encoder",
         )(tokens, spatial_shapes, pos_lvl, train)
 
         y = tokens.reshape(b, n, hs, ws, self.hidden_dim)
         y = jnp.moveaxis(y, 1, 3).reshape(b, hs, ws, n * self.hidden_dim)
-        y = nn.relu(nn.Conv(self.hidden_dim, (1, 1), kernel_init=xavier_uniform, name="merge")(y))
+        y = nn.relu(nn.Conv(self.hidden_dim, (1, 1), kernel_init=xavier_uniform, dtype=self.dtype,
+                            name="merge")(y))
         y = _resize_bilinear(y, self.world_shape)
         y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), padding=[(1, 1)] * 2, kernel_init=xavier_uniform,
-                            name="up")(y))
+                            dtype=self.dtype, name="up")(y))
         return y
 
 
@@ -166,13 +193,16 @@ class DeformTransWorldFeatAIO(nn.Module):
     nhead: int = 8
     dim_feedforward: int = 512
     dropout: float = 0.1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         b, n, h, w, c = x.shape
         y = jnp.moveaxis(x, 1, 3).reshape(b, h, w, n * c)
-        y = nn.relu(nn.Conv(self.hidden_dim, (1, 1), kernel_init=xavier_uniform, name="merge")(y))
-        pos = jnp.asarray(sine_pos_embedding((h, w), self.hidden_dim // 2)).reshape(1, h * w, self.hidden_dim)
+        y = nn.relu(nn.Conv(self.hidden_dim, (1, 1), kernel_init=xavier_uniform, dtype=self.dtype,
+                            name="merge")(y))
+        pos = jnp.asarray(sine_pos_embedding((h, w), self.hidden_dim // 2),
+                          dtype=y.dtype).reshape(1, h * w, self.hidden_dim)
         tokens = DeformableEncoder(
             num_layers=3,
             d_model=self.hidden_dim,
@@ -180,10 +210,12 @@ class DeformTransWorldFeatAIO(nn.Module):
             dropout=self.dropout,
             n_levels=1,
             n_heads=self.nhead,
+            dtype=self.dtype,
             name="encoder",
         )(y.reshape(b, h * w, self.hidden_dim), ((h, w),), pos, train)
         y = tokens.reshape(b, h, w, self.hidden_dim)
-        y = nn.relu(nn.Conv(self.hidden_dim, (1, 1), kernel_init=xavier_uniform, name="output")(y))
+        y = nn.relu(nn.Conv(self.hidden_dim, (1, 1), kernel_init=xavier_uniform, dtype=self.dtype,
+                            name="output")(y))
         return y
 
 
@@ -217,22 +249,27 @@ class DeformConvWorldFeat(nn.Module):
 
 
 def build_world_feat(arch: str, num_cam: int, world_shape, base_dim: int = 128,
-                     reference_points: Optional[np.ndarray] = None, n_points: int = 4) -> nn.Module:
+                     reference_points: Optional[np.ndarray] = None, n_points: int = 4,
+                     dtype=None, attn_mode: str = "auto", attn_radius: int = 4) -> nn.Module:
     """Variant dispatch, mirroring `models/mvdetr.py:122-134`."""
     world_shape = tuple(int(v) for v in world_shape)
     # hidden_dim tracks base_dim (both default to 128 in the reference zoo) so
     # every variant returns base_dim channels for the world heads.
     if arch == "conv":
-        return ConvWorldFeat(num_cam, world_shape, base_dim, hidden_dim=base_dim, name="world_feat")
+        return ConvWorldFeat(num_cam, world_shape, base_dim, hidden_dim=base_dim, dtype=dtype,
+                             name="world_feat")
     if arch == "trans":
-        return TransformerWorldFeat(num_cam, world_shape, base_dim, hidden_dim=base_dim, name="world_feat")
+        return TransformerWorldFeat(num_cam, world_shape, base_dim, hidden_dim=base_dim, dtype=dtype,
+                                    name="world_feat")
     if arch == "deform_conv":
         return DeformConvWorldFeat(num_cam, world_shape, base_dim, hidden_dim=base_dim, name="world_feat")
     if arch == "deform_trans":
         return DeformTransWorldFeat(
             num_cam, world_shape, base_dim, hidden_dim=base_dim,
-            n_points=n_points, reference_points=reference_points, name="world_feat"
+            n_points=n_points, reference_points=reference_points, dtype=dtype,
+            attn_mode=attn_mode, attn_radius=attn_radius, name="world_feat"
         )
     if arch == "aio":
-        return DeformTransWorldFeatAIO(num_cam, world_shape, base_dim, hidden_dim=base_dim, name="world_feat")
+        return DeformTransWorldFeatAIO(num_cam, world_shape, base_dim, hidden_dim=base_dim, dtype=dtype,
+                                       name="world_feat")
     raise ValueError(f"unknown world_feat arch: {arch}")

@@ -1,0 +1,79 @@
+"""Windowed (dense, gather-free) deformable attention — the TPU fast path.
+
+Why this exists: XLA's gather on TPU costs ~25-30 cycles per gathered row;
+the reference-shaped MSDA (75.6k queries x 8 heads x 28 taps x 4 bilinear
+corners) measured 922 ms forward / 6.7 s backward on a v5e chip — 100x the
+rest of the model combined. Random access is the wrong primitive on TPU.
+
+Observation: in the flagship MVDeTr configuration (``n_points=4``), every
+geometric reference point has z=0, so the reference map is the *identity*
+grid (`/root/reference/multiview_detector/models/mvdetr.py:39-40` and the
+round-trip at `:50-58`): sampling position = query BEV cell + learned offset
+(the net algebra of `ms_deform_attn.py:106` with `loc*W - 0.5`). With offsets
+clamped to a window of radius R cells, bilinear sampling decomposes exactly
+into a sum over the (2R+1)^2 integer shifts delta of
+
+    hat(ox - dx) * hat(oy - dy) * value_shifted_by_delta,   hat(t) = max(0, 1-|t|)
+
+— all dense elementwise ops + static shifts (pad/slice). No gather in the
+forward, no scatter in the backward; everything rides the VPU, deterministic
+by construction (the CUDA backward's atomicAdd zoo,
+`ms_deform_im2col_cuda.cuh:846-920`, disappears).
+
+Semantics note: clamping offsets to radius R is a (documented) departure from
+the unbounded reference offsets — windowed deformable attention. Offsets
+initialize within ±4 cells (`ms_deform_attn.py:62-71`), so R >= 4 covers the
+reference's init exactly; the general gather path remains available for
+unbounded reach (e.g. the 8-point shadow reference maps).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Static shift on axes (2, 3) of ``x [B, L, H, W, ...]`` so that
+    out[..., y, x, ...] = in[..., y+dy, x+dx, ...], zero-padded."""
+    h, w = x.shape[2], x.shape[3]
+    pad = [(0, 0)] * x.ndim
+    pad[2] = (max(-dy, 0), max(dy, 0))
+    pad[3] = (max(-dx, 0), max(dx, 0))
+    y = jnp.pad(x, pad)
+    y0 = max(dy, 0)
+    x0 = max(dx, 0)
+    return y[:, :, y0 : y0 + h, x0 : x0 + w]
+
+
+def ms_deform_attn_windowed(
+    value: jnp.ndarray,  # [B, L, H, W, M, D] — per-camera BEV grids
+    offsets: jnp.ndarray,  # [B, C, H, W, M, L, P, 2] raw offsets in cells (x, y)
+    weights: jnp.ndarray,  # [B, C, H, W, M, L, P] softmaxed over (L, P)
+    radius: int = 4,
+) -> jnp.ndarray:
+    """Returns ``[B, C*H*W, M*D]`` — same contract as the gather path for
+    identity reference points, with offsets clamped to ``(-radius, radius)``.
+
+    Queries are the C aligned copies of the BEV grid (C == L in MVDeTr).
+    """
+    b, l, h, w, m, d = value.shape
+    c = offsets.shape[1]
+    compute = value.dtype
+
+    lim = radius - 1e-4
+    ox = jnp.clip(offsets[..., 0].astype(jnp.float32), -lim, lim)
+    oy = jnp.clip(offsets[..., 1].astype(jnp.float32), -lim, lim)
+    wgt = weights.astype(jnp.float32)
+
+    out = jnp.zeros((b, c, h, w, m, d), dtype=jnp.float32)
+    for dy in range(-radius, radius + 1):
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))  # [B,C,H,W,M,L,P]
+        for dx in range(-radius, radius + 1):
+            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
+            cw = jnp.sum(wgt * hatx * haty, axis=-1)  # [B,C,H,W,M,L]
+            vs = shift2d(value, dy, dx)  # [B,L,H,W,M,D]
+            out = out + jnp.einsum(
+                "bchwml,blhwmd->bchwmd", cw.astype(compute), vs,
+                preferred_element_type=jnp.float32,
+            )
+    return out.reshape(b, c * h * w, m * d)
