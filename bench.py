@@ -49,7 +49,10 @@ def main():
     ds = FrameDataset(scene, train=True, world_reduce=4, img_reduce=12, top_k=100)
     batch = next(ds.batches(batch_size=1))
 
-    model = MVDeTr.from_rig(rig, world_reduce=4, img_reduce=12, world_feat_arch="deform_trans")
+    import jax.numpy as jnp
+
+    model = MVDeTr.from_rig(rig, world_reduce=4, img_reduce=12, world_feat_arch="deform_trans",
+                            compute_dtype=jnp.bfloat16)
     state = create_train_state(model, batch, lr=5e-4, total_steps=100)
 
     rng = jax.random.PRNGKey(0)

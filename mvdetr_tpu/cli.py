@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--img_kernel_size", type=int, default=10)
     # TPU-native additions
     parser.add_argument("--view_shards", type=int, default=1, help="devices along the view mesh axis")
+    parser.add_argument("--bf16", type=str2bool, default=False, help="bfloat16 compute (params stay f32)")
+    parser.add_argument("--attn_mode", type=str, default="auto", choices=["auto", "gather", "windowed"])
+    parser.add_argument("--attn_radius", type=int, default=4)
     parser.add_argument("--backbone_ckpt", type=str, default=None,
                         help="torchvision resnet18 .pth/.npz for ImageNet init")
     parser.add_argument("--data_root", type=str, default=None)
@@ -132,10 +135,14 @@ def main(args=None):
     print("Settings:")
     print(vars(args))
 
+    import jax.numpy as jnp
+
     model = MVDeTr.from_rig(
         rig, world_reduce=args.world_reduce, img_reduce=args.img_reduce, arch=args.arch,
         world_feat_arch=args.world_feat, bottleneck_dim=args.bottleneck_dim,
         outfeat_dim=args.outfeat_dim, dropout=args.dropout,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        attn_mode=args.attn_mode, attn_radius=args.attn_radius,
     )
 
     backbone_vars = None

@@ -55,25 +55,39 @@ def ms_deform_attn_windowed(
     identity reference points, with offsets clamped to ``(-radius, radius)``.
 
     Queries are the C aligned copies of the BEV grid (C == L in MVDeTr).
+
+    Layout note: the channel axis stays fused as M*D (=128 for the flagship)
+    so every tensor tiles cleanly onto (8, 128) TPU registers — splitting
+    (M, D=16) as minor axes makes XLA pad D to a 128-lane tile (9x memory
+    blowup, observed OOM in the backward). Each shift's contribution is
+    wrapped in ``jax.checkpoint`` so the backward recomputes the shifted
+    values/hat weights instead of storing (2R+1)^2 copies.
     """
+    import jax
+
     b, l, h, w, m, d = value.shape
     c = offsets.shape[1]
-    compute = value.dtype
 
+    vflat = value.reshape(b, l, h, w, m * d)
     lim = radius - 1e-4
     ox = jnp.clip(offsets[..., 0].astype(jnp.float32), -lim, lim)
     oy = jnp.clip(offsets[..., 1].astype(jnp.float32), -lim, lim)
     wgt = weights.astype(jnp.float32)
 
-    out = jnp.zeros((b, c, h, w, m, d), dtype=jnp.float32)
-    for dy in range(-radius, radius + 1):
+    def shift_contrib(dy, dx, vflat, ox, oy, wgt):
         haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))  # [B,C,H,W,M,L,P]
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
+        cw = jnp.sum(wgt * hatx * haty, axis=-1)  # [B,C,H,W,M,L]
+        cw = jnp.moveaxis(cw, 4, 5)  # [B,C,H,W,L,M]
+        cw = jnp.repeat(cw, d, axis=-1).astype(vflat.dtype)  # [B,C,H,W,L,M*D]
+        vs = shift2d(vflat, dy, dx)  # [B,L,H,W,M*D]
+        return jnp.einsum("bchwlk,blhwk->bchwk", cw, vs).astype(jnp.float32)
+
+    out = jnp.zeros((b, c, h, w, m * d), dtype=jnp.float32)
+    for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
-            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
-            cw = jnp.sum(wgt * hatx * haty, axis=-1)  # [B,C,H,W,M,L]
-            vs = shift2d(value, dy, dx)  # [B,L,H,W,M,D]
-            out = out + jnp.einsum(
-                "bchwml,blhwmd->bchwmd", cw.astype(compute), vs,
-                preferred_element_type=jnp.float32,
-            )
+            contrib = jax.checkpoint(
+                lambda v_, x_, y_, w_, dy=dy, dx=dx: shift_contrib(dy, dx, v_, x_, y_, w_)
+            )(vflat, ox, oy, wgt)
+            out = out + contrib
     return out.reshape(b, c * h * w, m * d)
