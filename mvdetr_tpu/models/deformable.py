@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mvdetr_tpu.ops.msda import ms_deform_attn, ms_deform_attn_same_shape
-from mvdetr_tpu.ops.msda_windowed import ms_deform_attn_windowed
+from mvdetr_tpu.ops.msda_windowed import windowed_attention
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
@@ -99,7 +99,7 @@ class MSDeformAttn(nn.Module):
             v = value.reshape(b, l, h_, w_, m, d)  # S is level-major
             off = offsets.reshape(b, c, h_, w_, m, l, p, 2)
             wgt = weights.reshape(b, c, h_, w_, m, l, p)
-            out = ms_deform_attn_windowed(v, off, wgt, radius=self.radius)
+            out = windowed_attention(v, off, wgt, radius=self.radius)
         else:
             normalizer = jnp.asarray([[float(w2), float(h2)] for h2, w2 in shapes], dtype=jnp.float32)
             if reference_points.ndim == 4:  # [B, Q, L, 2]

@@ -67,27 +67,76 @@ def ms_deform_attn_windowed(
 
     b, l, h, w, m, d = value.shape
     c = offsets.shape[1]
+    r = radius
 
-    vflat = value.reshape(b, l, h, w, m * d)
-    lim = radius - 1e-4
+    vpad = jnp.pad(value.reshape(b, l, h, w, m * d), ((0, 0), (0, 0), (r, r), (r, r), (0, 0)))
+    lim = r - 1e-4
     ox = jnp.clip(offsets[..., 0].astype(jnp.float32), -lim, lim)
     oy = jnp.clip(offsets[..., 1].astype(jnp.float32), -lim, lim)
     wgt = weights.astype(jnp.float32)
 
-    def shift_contrib(dy, dx, vflat, ox, oy, wgt):
-        haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy))  # [B,C,H,W,M,L,P]
-        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx))
+    win = 2 * r + 1
+    dys, dxs = jnp.meshgrid(jnp.arange(win) - r, jnp.arange(win) - r, indexing="ij")
+    shifts = jnp.stack([dys.reshape(-1), dxs.reshape(-1)], axis=-1)  # [(2R+1)^2, 2]
+
+    @jax.checkpoint
+    def body(acc, delta):
+        dy, dx = delta[0], delta[1]
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy.astype(jnp.float32)))  # [B,C,H,W,M,L,P]
+        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx.astype(jnp.float32)))
         cw = jnp.sum(wgt * hatx * haty, axis=-1)  # [B,C,H,W,M,L]
         cw = jnp.moveaxis(cw, 4, 5)  # [B,C,H,W,L,M]
-        cw = jnp.repeat(cw, d, axis=-1).astype(vflat.dtype)  # [B,C,H,W,L,M*D]
-        vs = shift2d(vflat, dy, dx)  # [B,L,H,W,M*D]
-        return jnp.einsum("bchwlk,blhwk->bchwk", cw, vs).astype(jnp.float32)
+        cw = jnp.repeat(cw, d, axis=-1).astype(vpad.dtype)  # [B,C,H,W,L,M*D]
+        vs = jax.lax.dynamic_slice(vpad, (0, 0, dy + r, dx + r, 0), (b, l, h, w, m * d))
+        contrib = jnp.einsum("bchwlk,blhwk->bchwk", cw, vs).astype(jnp.float32)
+        return acc + contrib, None
 
     out = jnp.zeros((b, c, h, w, m * d), dtype=jnp.float32)
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            contrib = jax.checkpoint(
-                lambda v_, x_, y_, w_, dy=dy, dx=dx: shift_contrib(dy, dx, v_, x_, y_, w_)
-            )(vflat, ox, oy, wgt)
-            out = out + contrib
+    out, _ = jax.lax.scan(body, out, shifts)
     return out.reshape(b, c * h * w, m * d)
+
+
+# ------------------------------------------------------------------ dispatch
+def windowed_attention(value, offsets, weights, radius: int = 4, use_pallas: bool | None = None):
+    """Windowed deformable attention with backend dispatch.
+
+    On TPU the forward runs the Pallas kernel
+    (`ops/pallas/msda_kernel.py` — every input read once); the backward uses
+    the dense XLA formulation above (deterministic, no scatter). Off-TPU, the
+    XLA path runs both ways.
+    """
+    import jax
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return ms_deform_attn_windowed(value, offsets, weights, radius)
+    return _pallas_windowed(radius, value, offsets, weights)
+
+
+import functools as _functools  # noqa: E402
+import jax as _jax  # noqa: E402
+
+
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_windowed(radius, value, offsets, weights):
+    from mvdetr_tpu.ops.pallas.msda_kernel import msda_windowed_pallas
+
+    b = value.shape[0]
+    outs = [msda_windowed_pallas(value[i], offsets[i], weights[i], radius) for i in range(b)]
+    out = jnp.stack(outs)  # [B, C, H, W, K]
+    _, c, h, w, k = out.shape
+    return out.reshape(b, c * h * w, k)
+
+
+def _pallas_windowed_fwd(radius, value, offsets, weights):
+    return _pallas_windowed(radius, value, offsets, weights), (value, offsets, weights)
+
+
+def _pallas_windowed_bwd(radius, residuals, g):
+    value, offsets, weights = residuals
+    _, vjp = _jax.vjp(lambda v, o, w_: ms_deform_attn_windowed(v, o, w_, radius), value, offsets, weights)
+    return vjp(g)
+
+
+_pallas_windowed.defvjp(_pallas_windowed_fwd, _pallas_windowed_bwd)
