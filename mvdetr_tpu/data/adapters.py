@@ -48,7 +48,7 @@ def _read_opencv_matrix(path: str, node: str) -> np.ndarray:
         raise KeyError(f"{node} not found in {path}")
     rows = int(el.findtext("rows"))
     cols = int(el.findtext("cols"))
-    data = np.fromstring(el.findtext("data").replace("\n", " "), sep=" ")
+    data = np.asarray([float(v) for v in el.findtext("data").split()])
     return data.reshape(rows, cols)
 
 
@@ -56,7 +56,7 @@ def _read_vector_node(path: str, node: str) -> np.ndarray:
     root = ET.parse(path).getroot()
     el = root.findall(node)[0]
     if el.find("data") is not None:  # FileStorage-matrix style
-        return np.fromstring(el.findtext("data").replace("\n", " "), sep=" ").reshape(-1)
+        return np.asarray([float(v) for v in el.findtext("data").split()])
     return np.asarray([float(v) for v in el.text.strip().split()])
 
 

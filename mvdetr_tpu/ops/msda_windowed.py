@@ -107,8 +107,9 @@ def windowed_attention(value, offsets, weights, radius: int = 4, use_pallas: boo
     """
     import jax
 
+    m, d = value.shape[-2], value.shape[-1]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu" and (m * d) % 128 == 0
     if not use_pallas:
         return ms_deform_attn_windowed(value, offsets, weights, radius)
     return _pallas_windowed(radius, value, offsets, weights)

@@ -60,32 +60,35 @@ def _kernel(ox_ref, oy_ref, w_ref, sl_ref, rd_ref, value_ref, out_ref, vtile, se
 
     @pl.when(c == 0)
     def _():
-        dma = pltpu.make_async_copy(
-            value_ref.at[:, pl.ds(i * th, th + 2 * radius), pl.ds(j * tw, tw + 2 * radius), :],
-            vtile,
-            sem,
-        )
-        dma.start()
-        dma.wait()
+        # one DMA per level: 3D strided copies are the robust path
+        for li in range(num_l):
+            dma = pltpu.make_async_copy(
+                value_ref.at[li, pl.ds(i * th, th + 2 * radius), pl.ds(j * tw, tw + 2 * radius), :],
+                vtile.at[li],
+                sem,
+            )
+            dma.start()
+            dma.wait()
 
     ox = ox_ref[0].reshape(t, ox_ref.shape[-1])  # [T, PLM]
     oy = oy_ref[0].reshape(t, oy_ref.shape[-1])
     wgt = w_ref[0].reshape(t, w_ref.shape[-1])
 
-    def body(s, acc):
-        dy = s // win - radius
-        dx = s % win - radius
-        hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx.astype(jnp.float32)))
-        haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy.astype(jnp.float32)))
-        cw3 = wgt * hatx * haty  # [T, PLM]
-        for li in range(num_l):
-            cwm = jnp.dot(cw3, sl_ref[li], preferred_element_type=jnp.float32)  # [T, M]
-            cwk = jnp.dot(cwm, rd_ref[...], preferred_element_type=jnp.float32)  # [T, K]
-            vwin = vtile[li, pl.ds(dy + radius, th), pl.ds(dx + radius, tw), :]
-            acc = acc + cwk * vwin.reshape(t, k).astype(jnp.float32)
-        return acc
-
-    acc = jax.lax.fori_loop(0, win * win, body, jnp.zeros((t, k), jnp.float32))
+    # fully static shift loops: Mosaic restricts dynamic starts on the minor
+    # dims, and static slices compile to plain vector loads
+    acc = jnp.zeros((t, k), jnp.float32)
+    for dyi in range(win):
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - float(dyi - radius)))
+        for dxi in range(win):
+            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - float(dxi - radius)))
+            cw3 = wgt * hatx * haty  # [T, PLM]
+            for li in range(num_l):
+                cwm = jnp.dot(cw3, sl_ref[li], preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)  # [T, M]
+                cwk = jnp.dot(cwm, rd_ref[...], preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)  # [T, K]
+                vwin = vtile[li, dyi : dyi + th, dxi : dxi + tw, :]
+                acc = acc + cwk * vwin.reshape(t, k).astype(jnp.float32)
     out_ref[0] = acc.reshape(th, tw, k)
 
 
@@ -96,12 +99,20 @@ def _pick_tile(n: int, target: int) -> int:
     return n
 
 
+def _pick_width_tile(w: int) -> int:
+    # Mosaic requires block dims (-2) divisible by 8 or equal to the array dim.
+    for cand in (128, 256, 64, 32, 16, 8):
+        if w % cand == 0:
+            return cand
+    return w
+
+
 def msda_windowed_pallas(
     value: jnp.ndarray,  # [L, H, W, M, D]
     offsets: jnp.ndarray,  # [C, H, W, M, L, P, 2]
     weights: jnp.ndarray,  # [C, H, W, M, L, P]
     radius: int = 4,
-    kernel_dtype=jnp.float32,
+    kernel_dtype=jnp.bfloat16,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Single-batch forward. Returns [C, H, W, M*D] float32."""
@@ -111,9 +122,11 @@ def msda_windowed_pallas(
     c, _, _, _, _, p = weights.shape
     k = m * d
     plm = p * l * m
+    if k % 128 != 0:
+        raise ValueError(f"pallas windowed kernel needs M*D % 128 == 0, got {k}")
 
     th = _pick_tile(h, 8)
-    tw = _pick_tile(w, 128)
+    tw = _pick_width_tile(w)
 
     vp = jnp.pad(value.reshape(l, h, w, k), ((0, 0), (radius, radius), (radius, radius), (0, 0)))
     vp = vp.astype(kernel_dtype)
@@ -147,6 +160,7 @@ def msda_windowed_pallas(
             pltpu.VMEM((l, th + 2 * radius, tw + 2 * radius, k), kernel_dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(ox, oy, wg, jnp.asarray(sl), jnp.asarray(rd), vp)
     return out
