@@ -162,8 +162,17 @@ def main(args=None):
         backbone_variables=backbone_vars,
     )
 
+    mesh = None
+    if args.view_shards > 1 or len(jax.devices()) > 1:
+        from mvdetr_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        usable = (n_dev // args.view_shards) * args.view_shards
+        mesh = make_mesh(num_view_shards=args.view_shards, devices=jax.devices()[:usable])
+        print(f"mesh: {dict(mesh.shape)}")
+
     trainer = Trainer(state, train_set, test_set, cls_thres=args.cls_thres, alpha=args.alpha,
-                      use_mse=args.use_mse)
+                      use_mse=args.use_mse, mesh=mesh)
     res_fpath = os.path.join(logdir, "test.txt")
     ckpt_dir = os.path.join(logdir, "checkpoints")
 

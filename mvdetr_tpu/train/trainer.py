@@ -133,6 +133,7 @@ class Trainer:
         use_mse: bool = False,
         nms_top_k: int = 512,
         logger=print,
+        mesh=None,
     ):
         self.state = state
         self.train_set = dataset_train
@@ -142,14 +143,28 @@ class Trainer:
         self.use_mse = use_mse
         self.nms_top_k = nms_top_k
         self.log = logger
+        self.mesh = mesh
         self._rng = jax.random.PRNGKey(0)
+        self._sharded_train = None
+        if mesh is not None:
+            from mvdetr_tpu.parallel import make_sharded_train_step, replicate_state
+
+            self._sharded_train = make_sharded_train_step(mesh, alpha=alpha, use_mse=use_mse)
+            self.state = replicate_state(self.state, mesh)
+
+    def _step(self, batch, rng):
+        if self._sharded_train is not None:
+            from mvdetr_tpu.parallel import shard_batch
+
+            return self._sharded_train(self.state, shard_batch(batch, self.mesh), rng)
+        return train_step(self.state, batch, rng, self.alpha, self.use_mse)
 
     def train_epoch(self, epoch: int, batch_size: int = 1, log_interval: int = 100) -> float:
         t0 = time.time()
         total, count = 0.0, 0
         for batch in self.train_set.batches(batch_size):
             self._rng, step_rng = jax.random.split(self._rng)
-            self.state, aux = train_step(self.state, batch, step_rng, self.alpha, self.use_mse)
+            self.state, aux = self._step(batch, step_rng)
             total += float(aux["loss"])
             count += 1
             if count % log_interval == 0:
