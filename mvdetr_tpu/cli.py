@@ -163,13 +163,18 @@ def main(args=None):
     )
 
     mesh = None
-    if args.view_shards > 1 or len(jax.devices()) > 1:
+    n_dev = len(jax.devices())
+    if args.view_shards > 1 or n_dev > 1:
         from mvdetr_tpu.parallel import make_mesh
 
-        n_dev = len(jax.devices())
-        usable = (n_dev // args.view_shards) * args.view_shards
-        mesh = make_mesh(num_view_shards=args.view_shards, devices=jax.devices()[:usable])
-        print(f"mesh: {dict(mesh.shape)}")
+        # data axis must divide the batch; view axis must divide the cameras
+        data_size = max(1, min(n_dev // args.view_shards, args.batch_size))
+        while args.batch_size % data_size:
+            data_size -= 1
+        usable = data_size * args.view_shards
+        if usable > 1:
+            mesh = make_mesh(num_view_shards=args.view_shards, devices=jax.devices()[:usable])
+            print(f"mesh: {dict(mesh.shape)}")
 
     trainer = Trainer(state, train_set, test_set, cls_thres=args.cls_thres, alpha=args.alpha,
                       use_mse=args.use_mse, mesh=mesh)

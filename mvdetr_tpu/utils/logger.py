@@ -35,9 +35,15 @@ class Logger:
             os.fsync(self.file.fileno())
 
     def close(self):
-        self.console.flush()
+        try:
+            self.console.flush()
+        except Exception:
+            pass
         if self.file is not None:
-            self.file.close()
+            try:
+                self.file.close()
+            except Exception:
+                pass
             self.file = None
 
 
