@@ -74,21 +74,35 @@ def _kernel(ox_ref, oy_ref, w_ref, sl_ref, rd_ref, value_ref, out_ref, vtile, se
     oy = oy_ref[0].reshape(t, oy_ref.shape[-1])
     wgt = w_ref[0].reshape(t, w_ref.shape[-1])
 
-    # fully static shift loops: Mosaic restricts dynamic starts on the minor
-    # dims, and static slices compile to plain vector loads
-    acc = jnp.zeros((t, k), jnp.float32)
-    for dyi in range(win):
-        haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - float(dyi - radius)))
-        for dxi in range(win):
-            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - float(dxi - radius)))
+    # Mosaic restricts *dynamic* slice starts on the two minor dims, so the
+    # y-shift uses a dynamic slice on dim -3 (allowed) and the x-shift is an
+    # incremental static roll-by-1 carried through the inner loop (wraparound
+    # never reaches the read window while dx <= 2R). Double fori keeps the
+    # compiled program small — a fully static (2R+1)^2 unroll took the remote
+    # compiler tens of minutes.
+    def body_dy(dyi, acc):
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - (dyi - radius).astype(jnp.float32)))
+        vslab = vtile[:, pl.ds(dyi, th), :, :]  # [L, TH, TW+2R, K]
+
+        def body_dx(dxi, carry):
+            acc, vroll = carry
+            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - (dxi - radius).astype(jnp.float32)))
             cw3 = wgt * hatx * haty  # [T, PLM]
+            contrib = jnp.zeros((t, k), jnp.float32)
             for li in range(num_l):
                 cwm = jnp.dot(cw3, sl_ref[li], preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)  # [T, M]
                 cwk = jnp.dot(cwm, rd_ref[...], preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)  # [T, K]
-                vwin = vtile[li, dyi : dyi + th, dxi : dxi + tw, :]
-                acc = acc + cwk * vwin.reshape(t, k).astype(jnp.float32)
+                vwin = vroll[li, :, 0:tw, :]
+                contrib = contrib + cwk * vwin.reshape(t, k).astype(jnp.float32)
+            # roll left by one (pltpu.roll wants non-negative shifts)
+            return acc + contrib, pltpu.roll(vroll, vroll.shape[2] - 1, axis=2)
+
+        acc, _ = jax.lax.fori_loop(0, win, body_dx, (acc, vslab))
+        return acc
+
+    acc = jax.lax.fori_loop(0, win, body_dy, jnp.zeros((t, k), jnp.float32))
     out_ref[0] = acc.reshape(th, tw, k)
 
 

@@ -172,10 +172,12 @@ class Trainer:
         self.log(f"Train epoch {epoch} done: loss {total / max(count, 1):.6f}, t {time.time() - t0:.1f}s")
         return total / max(count, 1)
 
-    def test(self, batch_size: int = 1, res_fpath: Optional[str] = None):
+    def test(self, batch_size: int = 1, res_fpath: Optional[str] = None,
+             visualize_dir: Optional[str] = None):
         t0 = time.time()
         total, count = 0.0, 0
         rows = []
+        last_batch = None
         indexing_ij = self.train_set.rig.indexing == "ij"
         for batch in self.test_set.batches(batch_size, shuffle=False, drop_last=False):
             aux, xys, keep = eval_step(
@@ -188,6 +190,7 @@ class Trainer:
             )
             total += float(aux["loss"])
             count += 1
+            last_batch = batch
             xys = np.asarray(xys)
             keep = np.asarray(keep)
             for b in range(xys.shape[0]):
@@ -202,6 +205,8 @@ class Trainer:
         det = np.asarray(rows, dtype=np.float64).reshape(-1, 3)
         if res_fpath is not None:
             np.savetxt(res_fpath, det, "%d")
+        if visualize_dir is not None and last_batch is not None:
+            self._dump_heatmaps(last_batch, visualize_dir)
         gt = self.test_set.gt_array()
         # CLEAR matches on the integer-truncated rows as written to test.txt
         # via np.savetxt('%d') (`trainer.py:158-159`)
@@ -211,3 +216,33 @@ class Trainer:
             f"prec {precision:.1f}%, recall {recall:.1f}%, t {time.time() - t0:.1f}s"
         )
         return total / max(count, 1), moda, modp, precision, recall
+
+    def _dump_heatmaps(self, batch, out_dir: str):
+        """Predicted vs target BEV heatmap images (`trainer.py:141-155` parity)."""
+        import os
+
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        outputs = self.state.apply_fn(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            batch["imgs"], batch["affine_mats"], train=False,
+        )
+        (world_heatmap, _), (imgs_heatmap, _, _) = outputs
+        fig, (ax0, ax1) = plt.subplots(2, 1, figsize=(10, 6))
+        ax0.set_title("output")
+        ax0.imshow(jax.nn.sigmoid(world_heatmap)[0, :, :, 0])
+        ax1.set_title("target")
+        ax1.imshow(batch["world_gt"]["heatmap"][0, :, :, 0])
+        fig.savefig(os.path.join(out_dir, "world.jpg"))
+        plt.close(fig)
+        fig, ax = plt.subplots()
+        ax.imshow(jax.nn.sigmoid(imgs_heatmap)[0, :, :, 0])
+        ax.set_title("cam1 foot heatmap")
+        fig.savefig(os.path.join(out_dir, "cam1_foot.jpg"))
+        plt.close(fig)
