@@ -50,7 +50,7 @@ def _select_matrices(m: int, l: int, p: int, d: int):
 
 
 def _kernel(ox_ref, oy_ref, w_ref, sl_ref, rd_ref, value_ref, out_ref, vtile, sem,
-            *, radius, th, tw, num_l, num_m, num_d):
+            *, radius, th, tw, vwidth, num_l, num_m, num_d):
     i = pl.program_id(0)
     j = pl.program_id(1)
     c = pl.program_id(2)
@@ -63,7 +63,7 @@ def _kernel(ox_ref, oy_ref, w_ref, sl_ref, rd_ref, value_ref, out_ref, vtile, se
         # one DMA per level: 3D strided copies are the robust path
         for li in range(num_l):
             dma = pltpu.make_async_copy(
-                value_ref.at[li, pl.ds(i * th, th + 2 * radius), pl.ds(j * tw, tw + 2 * radius), :],
+                value_ref.at[li, pl.ds(i * th, th + 2 * radius), pl.ds(j * tw, vwidth), :],
                 vtile.at[li],
                 sem,
             )
@@ -74,32 +74,24 @@ def _kernel(ox_ref, oy_ref, w_ref, sl_ref, rd_ref, value_ref, out_ref, vtile, se
     oy = oy_ref[0].reshape(t, oy_ref.shape[-1])
     wgt = w_ref[0].reshape(t, w_ref.shape[-1])
 
-    # Mosaic restricts *dynamic* slice starts on the two minor dims, so the
-    # y-shift uses a dynamic slice on dim -3 (allowed) and the x-shift is an
-    # incremental static roll-by-1 carried through the inner loop (wraparound
-    # never reaches the read window while dx <= 2R). Double fori keeps the
-    # compiled program small — a fully static (2R+1)^2 unroll took the remote
-    # compiler tens of minutes.
+    # The y-shift is a dynamic fori index — its slice lands on dim -3 of the
+    # value tile, which Mosaic allows. The x-shift must be static: dynamic
+    # starts on the sublane (-2) dim fault at runtime, and pltpu.roll in a
+    # loop carry hits a Mosaic internal error; a (2R+1)-way static unroll of
+    # dx keeps the program ~9x smaller than unrolling both axes.
     def body_dy(dyi, acc):
         haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - (dyi - radius).astype(jnp.float32)))
         vslab = vtile[:, pl.ds(dyi, th), :, :]  # [L, TH, TW+2R, K]
-
-        def body_dx(dxi, carry):
-            acc, vroll = carry
-            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - (dxi - radius).astype(jnp.float32)))
+        for dxi in range(win):
+            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - float(dxi - radius)))
             cw3 = wgt * hatx * haty  # [T, PLM]
-            contrib = jnp.zeros((t, k), jnp.float32)
             for li in range(num_l):
                 cwm = jnp.dot(cw3, sl_ref[li], preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)  # [T, M]
                 cwk = jnp.dot(cwm, rd_ref[...], preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)  # [T, K]
-                vwin = vroll[li, :, 0:tw, :]
-                contrib = contrib + cwk * vwin.reshape(t, k).astype(jnp.float32)
-            # roll left by one (pltpu.roll wants non-negative shifts)
-            return acc + contrib, pltpu.roll(vroll, vroll.shape[2] - 1, axis=2)
-
-        acc, _ = jax.lax.fori_loop(0, win, body_dx, (acc, vslab))
+                vwin = vslab[li, :, dxi : dxi + tw, :]
+                acc = acc + cwk * vwin.reshape(t, k).astype(jnp.float32)
         return acc
 
     acc = jax.lax.fori_loop(0, win, body_dy, jnp.zeros((t, k), jnp.float32))
@@ -139,27 +131,38 @@ def msda_windowed_pallas(
     if k % 128 != 0:
         raise ValueError(f"pallas windowed kernel needs M*D % 128 == 0, got {k}")
 
+    # Mosaic constraint: VMEM slice *sizes* on the sublane (-2) dim must be
+    # 8-aligned — pad the query width to a multiple of 8 and slice it back off
+    # at the end. The value tile gets the halo plus whatever extra padding
+    # rounds its width to 8.
     th = _pick_tile(h, 8)
-    tw = _pick_width_tile(w)
+    wp = -(-w // 8) * 8
+    tw = wp  # single block across the (padded) width
+    vwidth = tw + 2 * radius
+    vextra = (-vwidth) % 8
+    vwidth += vextra
 
-    vp = jnp.pad(value.reshape(l, h, w, k), ((0, 0), (radius, radius), (radius, radius), (0, 0)))
-    vp = vp.astype(kernel_dtype)
+    vp = jnp.pad(
+        value.reshape(l, h, w, k),
+        ((0, 0), (radius, radius), (radius, radius + (wp - w) + vextra), (0, 0)),
+    ).astype(kernel_dtype)
 
-    # channel order (p, l, m)
-    ox = jnp.transpose(offsets[..., 0], (0, 1, 2, 5, 4, 3)).reshape(c, h, w, plm).astype(jnp.float32)
-    oy = jnp.transpose(offsets[..., 1], (0, 1, 2, 5, 4, 3)).reshape(c, h, w, plm).astype(jnp.float32)
+    def prep(x):  # [C, H, W, M, L, P] -> padded [C, H, Wp, PLM], channel order (p, l, m)
+        x = jnp.transpose(x, (0, 1, 2, 5, 4, 3)).reshape(c, h, w, plm).astype(jnp.float32)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+
     lim = radius - 1e-4
-    ox = jnp.clip(ox, -lim, lim)
-    oy = jnp.clip(oy, -lim, lim)
-    wg = jnp.transpose(weights, (0, 1, 2, 5, 4, 3)).reshape(c, h, w, plm).astype(jnp.float32)
+    ox = prep(jnp.clip(offsets[..., 0], -lim, lim))
+    oy = prep(jnp.clip(offsets[..., 1], -lim, lim))
+    wg = prep(weights)
 
     sl, rd = _select_matrices(m, l, p, d)
 
-    grid = (h // th, w // tw, c)
+    grid = (h // th, 1, c)
     qspec = pl.BlockSpec((1, th, tw, plm), lambda i, j, cc: (cc, i, j, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, radius=radius, th=th, tw=tw, num_l=l, num_m=m, num_d=d),
-        out_shape=jax.ShapeDtypeStruct((c, h, w, k), jnp.float32),
+        functools.partial(_kernel, radius=radius, th=th, tw=tw, vwidth=vwidth, num_l=l, num_m=m, num_d=d),
+        out_shape=jax.ShapeDtypeStruct((c, h, wp, k), jnp.float32),
         grid=grid,
         in_specs=[
             qspec,
@@ -171,10 +174,10 @@ def msda_windowed_pallas(
         ],
         out_specs=pl.BlockSpec((1, th, tw, k), lambda i, j, cc: (cc, i, j, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((l, th + 2 * radius, tw + 2 * radius, k), kernel_dtype),
+            pltpu.VMEM((l, th + 2 * radius, vwidth, k), kernel_dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(ox, oy, wg, jnp.asarray(sl), jnp.asarray(rd), vp)
-    return out
+    return out[:, :, :w, :]
