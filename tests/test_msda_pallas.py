@@ -1,0 +1,54 @@
+"""Pallas windowed-MSDA kernel vs the XLA oracle (interpret mode on CPU;
+the same comparison runs on real TPU hardware in the bench harness)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mvdetr_tpu.ops.msda_windowed import ms_deform_attn_windowed, windowed_attention
+from mvdetr_tpu.ops.pallas.msda_kernel import msda_windowed_pallas
+
+
+@pytest.mark.parametrize("radius", [2, 4])
+def test_pallas_kernel_matches_xla(radius, rng):
+    l, h, w, m, d, p, c = 3, 8, 16, 8, 16, 4, 3
+    value = rng.standard_normal((l, h, w, m, d)).astype(np.float32)
+    off = rng.uniform(-(radius - 0.5), radius - 0.5, (c, h, w, m, l, p, 2)).astype(np.float32)
+    wgt = rng.uniform(0, 1, (c, h, w, m, l, p)).astype(np.float32)
+    wgt /= wgt.sum(axis=(-1, -2), keepdims=True)
+
+    out = np.asarray(msda_windowed_pallas(
+        jnp.asarray(value), jnp.asarray(off), jnp.asarray(wgt), radius,
+        kernel_dtype=jnp.float32, interpret=True,
+    ))
+    ref = np.asarray(ms_deform_attn_windowed(
+        jnp.asarray(value[None]), jnp.asarray(off[None]), jnp.asarray(wgt[None]), radius
+    )).reshape(c, h, w, m * d)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pallas_kernel_nondivisible_width(rng):
+    """W=20 is not 8-divisible — exercises the width-padding path."""
+    l, h, w, m, d, p, c = 2, 4, 20, 8, 16, 2, 2
+    value = rng.standard_normal((l, h, w, m, d)).astype(np.float32)
+    off = rng.uniform(-1.5, 1.5, (c, h, w, m, l, p, 2)).astype(np.float32)
+    wgt = np.full((c, h, w, m, l, p), 1.0 / (l * p), np.float32)
+    out = np.asarray(msda_windowed_pallas(
+        jnp.asarray(value), jnp.asarray(off), jnp.asarray(wgt), 2,
+        kernel_dtype=jnp.float32, interpret=True,
+    ))
+    ref = np.asarray(ms_deform_attn_windowed(
+        jnp.asarray(value[None]), jnp.asarray(off[None]), jnp.asarray(wgt[None]), 2
+    )).reshape(c, h, w, m * d)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_dispatch_falls_back_on_small_channels(rng):
+    """M*D not 128-divisible -> XLA path, transparently."""
+    b, l, h, w, m, d, p = 1, 2, 6, 8, 2, 4, 2
+    value = rng.standard_normal((b, l, h, w, m, d)).astype(np.float32)
+    off = rng.uniform(-1, 1, (b, l, h, w, m, l, p, 2)).astype(np.float32)
+    wgt = np.full((b, l, h, w, m, l, p), 1.0 / (l * p), np.float32)
+    out = windowed_attention(jnp.asarray(value), jnp.asarray(off), jnp.asarray(wgt), 2)
+    assert out.shape == (b, l * h * w, m * d)
