@@ -135,9 +135,19 @@ def _pallas_windowed_fwd(radius, value, offsets, weights):
 
 
 def _pallas_windowed_bwd(radius, residuals, g):
+    from mvdetr_tpu.ops.pallas.msda_kernel_bwd import msda_windowed_pallas_bwd
+
     value, offsets, weights = residuals
-    _, vjp = _jax.vjp(lambda v, o, w_: ms_deform_attn_windowed(v, o, w_, radius), value, offsets, weights)
-    return vjp(g)
+    b, l, h, w, m, d = value.shape
+    c = offsets.shape[1]
+    g = g.reshape(b, c, h, w, m * d)
+    gvs, gos, gws = [], [], []
+    for i in range(b):
+        gv, go, gw = msda_windowed_pallas_bwd(value[i], offsets[i], weights[i], g[i], radius)
+        gvs.append(gv)
+        gos.append(go)
+        gws.append(gw)
+    return jnp.stack(gvs), jnp.stack(gos), jnp.stack(gws)
 
 
 _pallas_windowed.defvjp(_pallas_windowed_fwd, _pallas_windowed_bwd)
