@@ -112,7 +112,7 @@ def msda_windowed_pallas_bwd(
     k = m * d
     plm = p * l * m
 
-    th = _pick_tile(h, 12)
+    th = _pick_tile(h, 6)  # smaller than fwd: three grad outputs + gv slab share VMEM
     wp = -(-w // 8) * 8
     tw = wp
     vwidth = tw + 2 * radius
