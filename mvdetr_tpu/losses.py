@@ -80,3 +80,44 @@ def gaussian_mse_loss(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     time (`trainer.py:121`).
     """
     return jnp.mean((output - target) ** 2)
+
+
+def reg_ce_loss(output: jnp.ndarray, mask: jnp.ndarray, idx: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Masked cross-entropy at GT cells — the reID head loss (`losses.py:67-79`).
+
+    ``output``: [B, H, W, C] class logits; ``target``: [B, K] int class ids.
+    Vestigial in the reference's default config (``id_ratio=0``) but part of
+    the API surface.
+    """
+    pred = gather_at_indices(output, idx)  # [B, K, C]
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    picked = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    m = mask.astype(pred.dtype)
+    return -jnp.sum(picked * m) / (jnp.sum(m) + 1e-4)
+
+
+def gaussian_smoothed_mse_loss(output: jnp.ndarray, target: jnp.ndarray, kernel_size: int = 10) -> jnp.ndarray:
+    """MVDet-legacy GaussianMSE (`loss/gaussian_mse.py:12-20`): max-pool the
+    target down to the prediction's resolution, blur it with a Gaussian
+    kernel, then MSE against the raw output. Exported by the reference
+    (`loss/__init__.py:1`) though its trainer uses plain MSE."""
+    b, ho, wo, c = output.shape
+    _, ht, wt, _ = target.shape
+    if (ht, wt) != (ho, wo):
+        fy, fx = ht // ho, wt // wo
+        target = jax.lax.reduce_window(
+            target, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, fy, fx, 1), window_strides=(1, fy, fx, 1), padding="VALID",
+        )
+    sigma = kernel_size / 4.0
+    radius = int(2 * sigma)
+    ax = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    g1 = jnp.exp(-(ax**2) / (2 * sigma**2))
+    g2 = jnp.outer(g1, g1)
+    g2 = (g2 / g2.max())[:, :, None, None]  # HWIO, peak-normalized
+    blurred = jax.lax.conv_general_dilated(
+        target, g2.astype(target.dtype),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jnp.mean((output - blurred) ** 2)

@@ -28,6 +28,30 @@ def _to_uint8(img: np.ndarray) -> np.ndarray:
     return (img * 255).astype(np.uint8)
 
 
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406])
+IMAGENET_STD = np.array([0.229, 0.224, 0.225])
+
+
+def denormalize_image(img: np.ndarray) -> np.ndarray:
+    """Undo ImageNet normalization, NHWC [..., 3] -> uint8
+    (`utils/image_utils.py:114-120` equivalent)."""
+    out = np.asarray(img) * IMAGENET_STD + IMAGENET_MEAN
+    return (np.clip(out, 0, 1) * 255).astype(np.uint8)
+
+
+def heatmap_overlay(heatmap: np.ndarray, image: np.ndarray, alpha: float = 0.4) -> np.ndarray:
+    """Burn a [H, W] heatmap into an image as a red overlay
+    (`utils/image_utils.py:123-136` equivalent, colormap-free)."""
+    hm = np.asarray(heatmap, dtype=np.float64)
+    hm = (hm - hm.min()) / (hm.max() - hm.min() + 1e-8)
+    h, w = image.shape[:2]
+    if hm.shape != (h, w):
+        hm = warp_image_np(hm[..., None], np.diag([w / hm.shape[1], h / hm.shape[0], 1.0]), (h, w))[..., 0]
+    out = np.asarray(image, dtype=np.float64).copy()
+    out[..., 0] = out[..., 0] * (1 - alpha) + 255 * hm * alpha
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def warp_image_np(img: np.ndarray, mat: np.ndarray, out_shape) -> np.ndarray:
     """Host-side perspective warp (src->dst matrix), bilinear, zeros padding."""
     ho, wo = (int(v) for v in out_shape)

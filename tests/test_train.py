@@ -131,3 +131,30 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     rest_leaf = jax.tree.leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(orig_leaf), np.asarray(rest_leaf))
     assert int(restored.step) == int(state.step)
+
+
+def test_reg_ce_loss_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from mvdetr_tpu.losses import reg_ce_loss
+
+    out = rng.standard_normal((1, 4, 6, 5)).astype(np.float32)
+    idx = np.array([[7, 3, 0]])
+    mask = np.array([[True, True, False]])
+    target = np.array([[2, 4, 0]])
+    ours = float(reg_ce_loss(jnp.asarray(out), jnp.asarray(mask), jnp.asarray(idx), jnp.asarray(target)))
+
+    t_out = torch.from_numpy(out.reshape(1, 24, 5))
+    pred = t_out[0, [7, 3]]
+    expect = F.cross_entropy(pred, torch.tensor([2, 4]), reduction="sum") / (2 + 1e-4)
+    np.testing.assert_allclose(ours, float(expect), rtol=1e-5)
+
+
+def test_gaussian_smoothed_mse_runs(rng):
+    from mvdetr_tpu.losses import gaussian_smoothed_mse_loss
+
+    out = jnp.zeros((1, 8, 12, 1))
+    target = jnp.zeros((1, 32, 48, 1)).at[0, 16, 24, 0].set(1.0)
+    loss = gaussian_smoothed_mse_loss(out, target, kernel_size=8)
+    assert float(loss) > 0 and np.isfinite(float(loss))
