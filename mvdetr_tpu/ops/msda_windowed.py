@@ -105,11 +105,17 @@ def windowed_attention(value, offsets, weights, radius: int = 4, use_pallas: boo
     the dense XLA formulation above (deterministic, no scatter). Off-TPU, the
     XLA path runs both ways.
     """
+    import os
+
     import jax
 
     m, d = value.shape[-2], value.shape[-1]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and (m * d) % 128 == 0
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and (m * d) % 128 == 0
+            and os.environ.get("MVDETR_NO_PALLAS", "0") != "1"
+        )
     if not use_pallas:
         return ms_deform_attn_windowed(value, offsets, weights, radius)
     return _pallas_windowed(radius, value, offsets, weights)
