@@ -15,6 +15,7 @@ All functions are pure jnp and differentiable; gathers lower to XLA gather
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -62,3 +63,56 @@ def bilinear_sample_batched(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) 
     yf = y.reshape(b, -1)
     out = bilinear_gather(flat, xf, yf, h, w)
     return out.reshape((b,) + q_shape + (c,))
+
+
+def bilinear_patch_sample(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Patch-gather bilinear sampling: identical math to
+    :func:`bilinear_sample_batched` but fetches each query's 2x2 corner patch
+    as ONE gather slice from a zero-padded copy — 4x fewer gather descriptors
+    forward and 4x fewer scatter descriptors in the autodiff backward, and the
+    patch rows are memory-contiguous. Preferred on TPU where gather/scatter
+    cost is per-descriptor.
+
+    ``value: [B, H, W, C]``, ``x/y: [B, Q]`` (pixel coords, integer centers)
+    -> ``[B, Q, C]`` with zeros outside the image.
+    """
+    b, h, w, c = value.shape
+    q = x.shape[1]
+    padded = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = (x - x0).astype(value.dtype)
+    wy1 = (y - y0).astype(value.dtype)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    # per-corner in-bounds masks (zero-padding semantics per tap)
+    def inb(xc, yc):
+        return ((xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)).astype(value.dtype)
+
+    w00 = wy0 * wx0 * inb(x0, y0)
+    w01 = wy0 * wx1 * inb(x0 + 1, y0)
+    w10 = wy1 * wx0 * inb(x0, y0 + 1)
+    w11 = wy1 * wx1 * inb(x0 + 1, y0 + 1)
+    weights = jnp.stack([w00, w01, w10, w11], axis=-1).reshape(b, q, 2, 2)
+
+    # patch start in padded coords; clamp keeps far-out queries in range
+    # (their weights are already zero)
+    ys = jnp.clip(y0 + 1.0, 0, h).astype(jnp.int32)
+    xs = jnp.clip(x0 + 1.0, 0, w).astype(jnp.int32)
+    starts = jnp.stack([ys, xs], axis=-1)  # [B, Q, 2]
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patches = jax.lax.gather(
+        padded, starts, dnums,
+        slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [B, Q, 2, 2, C]
+    return jnp.einsum("bqyx,bqyxc->bqc", weights, patches)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from mvdetr_tpu.ops.sampling import bilinear_sample_batched
+from mvdetr_tpu.ops.sampling import bilinear_patch_sample
 
 
 def invert_3x3(m: jnp.ndarray) -> jnp.ndarray:
@@ -70,5 +70,5 @@ def perspective_warp(feats: jnp.ndarray, mats: jnp.ndarray, out_shape) -> jnp.nd
     sx = src[..., 0] / z
     sy = src[..., 1] / z
 
-    out = bilinear_sample_batched(feats, sx, sy)  # [B, Ho*Wo, C]
+    out = bilinear_patch_sample(feats, sx, sy)  # [B, Ho*Wo, C]
     return out.reshape(b, ho, wo, feats.shape[-1])
