@@ -65,6 +65,72 @@ def bilinear_sample_batched(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) 
     return out.reshape((b,) + q_shape + (c,))
 
 
+def bilinear_scatter_matmul(
+    g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, h: int, w: int, chunk: int = 1024
+) -> jnp.ndarray:
+    """Adjoint of bilinear sampling w.r.t. ``value`` — scatter-free, on the MXU.
+
+    ``g``: [B, Q, C] cotangents of the samples taken at pixel coords
+    ``x``/``y``: [B, Q]. Returns ``grad_value`` [B, H, W, C].
+
+    XLA lowers the autodiff transpose of a bilinear gather to scatter-add,
+    which serializes on TPU (measured ~1.2 s for the BEV warp at Wildtrack
+    scale vs ~10 ms forward). Instead, the bilinear tap weights factor
+    exactly per axis: ``w_corner = (wy·inb_y)·(wx·inb_x)``, so
+
+        grad_value[i, j, c] = Σ_q R[q, i] · C[q, j] · g[q, c]
+
+    with ``R`` ([Q, H], two nonzeros per row) and ``C`` ([Q, W]) built by
+    comparing floor(y)/floor(x) against an iota — out-of-bounds taps match no
+    index and vanish, reproducing zero-padding semantics. The contraction runs
+    as two chunked dots (outer-product then matmul over the query axis) that
+    ride the MXU with f32 accumulation — deterministic, no atomics, no
+    scatter. This is the TPU replacement for the reference backward's
+    atomicAdd scatter (`ms_deform_im2col_cuda.cuh:125-152`).
+    """
+    b, qn, c = g.shape
+    chunk = min(chunk, qn)
+    nchunk = -(-qn // chunk)
+    qp = nchunk * chunk
+    if qp != qn:
+        g = jnp.pad(g, ((0, 0), (0, qp - qn), (0, 0)))
+        # pad coords far out of bounds -> zero weights
+        x = jnp.pad(x, ((0, 0), (0, qp - qn)), constant_values=-1e6)
+        y = jnp.pad(y, ((0, 0), (0, qp - qn)), constant_values=-1e6)
+
+    rows = jnp.arange(h, dtype=jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    gs = jnp.moveaxis(g.reshape(b, nchunk, chunk, c), 1, 0)
+    xs = jnp.moveaxis(x.reshape(b, nchunk, chunk), 1, 0).astype(jnp.float32)
+    ys = jnp.moveaxis(y.reshape(b, nchunk, chunk), 1, 0).astype(jnp.float32)
+
+    def body(acc, inp):
+        xx, yy, gg = inp  # [B, CH], [B, CH], [B, CH, C]
+        x0 = jnp.floor(xx)
+        y0 = jnp.floor(yy)
+        wx1 = xx - x0
+        wy1 = yy - y0
+        # separable one-hot weight matrices; OOB corners match no index
+        R = (1.0 - wy1)[..., None] * (rows == y0[..., None]) + wy1[..., None] * (
+            rows == (y0 + 1.0)[..., None]
+        )  # [B, CH, H]
+        C = (1.0 - wx1)[..., None] * (cols == x0[..., None]) + wx1[..., None] * (
+            cols == (x0 + 1.0)[..., None]
+        )  # [B, CH, W]
+        rg = jnp.einsum("bqi,bqc->bqic", R.astype(gg.dtype), gg)  # [B, CH, H, C]
+        acc = acc + jax.lax.dot_general(
+            C.astype(gg.dtype),
+            rg.reshape(b, chunk, h * c),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, w, h, c)
+        return acc, None
+
+    acc0 = jnp.zeros((b, w, h, c), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (xs, ys, gs))
+    return jnp.transpose(acc, (0, 2, 1, 3)).astype(g.dtype)
+
+
 def bilinear_patch_sample(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Patch-gather bilinear sampling: identical math to
     :func:`bilinear_sample_batched` but fetches each query's 2x2 corner patch

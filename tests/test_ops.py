@@ -172,6 +172,48 @@ def test_perspective_warp_matches_torch_oracle(rng):
     np.testing.assert_allclose(out, t.permute(0, 2, 3, 1).numpy(), atol=1e-4)
 
 
+def test_bilinear_scatter_matmul_matches_gather_transpose(rng):
+    """The MXU one-hot adjoint must equal the autodiff transpose of the plain
+    bilinear gather (including zero-padding at out-of-bounds taps)."""
+    from mvdetr_tpu.ops.sampling import bilinear_sample_batched as sample
+    from mvdetr_tpu.ops.sampling import bilinear_scatter_matmul
+
+    b, h, w, c, q = 3, 9, 13, 5, 57
+    feat = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    # coords spanning in-bounds, boundary, and far out-of-bounds
+    x = (rng.standard_normal((b, q)) * 8 + 5).astype(np.float32)
+    y = (rng.standard_normal((b, q)) * 6 + 3).astype(np.float32)
+    g = rng.standard_normal((b, q, c)).astype(np.float32)
+
+    _, vjp = jax.vjp(lambda f: sample(f, jnp.asarray(x), jnp.asarray(y)), jnp.asarray(feat))
+    (want,) = vjp(jnp.asarray(g))
+    got = bilinear_scatter_matmul(jnp.asarray(g), jnp.asarray(x), jnp.asarray(y), h, w, chunk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_perspective_warp_grad_matches_plain_autodiff(rng):
+    """custom_vjp backward (scatter-free) vs autodiff through the raw gather."""
+    from mvdetr_tpu.ops.sampling import bilinear_sample_batched
+    from mvdetr_tpu.ops.warp import _warp_coords
+
+    feat = rng.standard_normal((2, 12, 17, 4)).astype(np.float32)
+    mat = np.array([[[0.9, 0.1, 2.0], [-0.05, 1.1, -1.0], [1e-3, -2e-3, 1.0]]], dtype=np.float32)
+    mats = np.concatenate([mat, np.eye(3, dtype=np.float32)[None]], axis=0)
+    out_shape = (10, 15)
+
+    def plain(f):
+        sx, sy = _warp_coords(jnp.asarray(mats), out_shape)
+        out = bilinear_sample_batched(f, sx.reshape(2, -1), sy.reshape(2, -1))
+        return jnp.sum(jnp.sin(out))
+
+    def custom(f):
+        return jnp.sum(jnp.sin(perspective_warp(f, jnp.asarray(mats), out_shape).reshape(2, -1, 4)))
+
+    gw = jax.grad(plain)(jnp.asarray(feat))
+    gc = jax.grad(custom)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gw), atol=1e-4)
+
+
 def _numpy_greedy_nms(points, scores, thres):
     """Transliteration of the reference greedy semantics (`utils/nms.py:30-43`)."""
     order = np.argsort(-scores, kind="stable")
