@@ -66,7 +66,7 @@ def bilinear_sample_batched(value: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) 
 
 
 def bilinear_scatter_matmul(
-    g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, h: int, w: int, chunk: int = 1024
+    g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, h: int, w: int, chunk: int = 4096
 ) -> jnp.ndarray:
     """Adjoint of bilinear sampling w.r.t. ``value`` — scatter-free, on the MXU.
 
