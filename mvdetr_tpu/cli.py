@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--img_kernel_size", type=int, default=10)
     # TPU-native additions
     parser.add_argument("--view_shards", type=int, default=1, help="devices along the view mesh axis")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="multi-host: JAX coordinator host:port")
+    parser.add_argument("--num_processes", type=int, default=None, help="multi-host: process count")
+    parser.add_argument("--process_id", type=int, default=None, help="multi-host: this process index")
     parser.add_argument("--bf16", type=str2bool, default=False, help="bfloat16 compute (params stay f32)")
     parser.add_argument("--attn_mode", type=str, default="auto", choices=["auto", "gather", "windowed"])
     parser.add_argument("--attn_radius", type=int, default=4)
@@ -97,6 +101,11 @@ def main(args=None):
 
     args = build_parser().parse_args(args)
 
+    if args.num_processes and args.num_processes > 1:
+        from mvdetr_tpu.parallel import initialize_distributed
+
+        initialize_distributed(args.coordinator_address, args.num_processes, args.process_id)
+
     if args.dataset == "synthetic":
         rig = make_synthetic_rig(
             num_cam=args.synthetic_cams,
@@ -128,6 +137,7 @@ def main(args=None):
             f"{datetime.datetime.today():%Y-%m-%d_%H-%M-%S}"
         )
         os.makedirs(logdir, exist_ok=True)
+        _snapshot_source(logdir)
         sys.stdout = Logger(os.path.join(logdir, "log.txt"))
     else:
         logdir = f"logs/{args.dataset}/{args.resume}"
@@ -147,12 +157,16 @@ def main(args=None):
 
     backbone_vars = None
     if args.backbone_ckpt:
+        if args.arch == "vgg11":
+            from mvdetr_tpu.models import load_torchvision_vgg11_state_dict as convert
+        else:
+            convert = load_torchvision_state_dict
         if args.backbone_ckpt.endswith(".npz"):
-            backbone_vars = load_torchvision_state_dict(dict(np.load(args.backbone_ckpt)))
+            backbone_vars = convert(dict(np.load(args.backbone_ckpt)))
         else:
             import torch
 
-            backbone_vars = load_torchvision_state_dict(torch.load(args.backbone_ckpt, map_location="cpu"))
+            backbone_vars = convert(torch.load(args.backbone_ckpt, map_location="cpu"))
 
     steps_per_epoch = train_set.steps_per_epoch(args.batch_size)
     sample = next(train_set.batches(args.batch_size))
@@ -177,9 +191,13 @@ def main(args=None):
             print(f"mesh: {dict(mesh.shape)}")
 
     trainer = Trainer(state, train_set, test_set, cls_thres=args.cls_thres, alpha=args.alpha,
-                      use_mse=args.use_mse, mesh=mesh)
+                      use_mse=args.use_mse, mesh=mesh, num_workers=args.num_workers)
     res_fpath = os.path.join(logdir, "test.txt")
     ckpt_dir = os.path.join(logdir, "checkpoints")
+    vis_dir = os.path.join(logdir, "visualize") if args.visualize else None
+
+    if args.deterministic:
+        trainer.check_determinism(batch_size=args.batch_size)
 
     history = {"epoch": [], "train_loss": [], "test_loss": [], "moda": []}
     if args.resume is None:
@@ -187,7 +205,8 @@ def main(args=None):
             print(f"=== epoch {epoch}/{args.epochs} ===")
             train_loss = trainer.train_epoch(epoch, batch_size=args.batch_size)
             test_loss, moda, modp, prec, recall = trainer.test(batch_size=args.batch_size,
-                                                               res_fpath=res_fpath)
+                                                               res_fpath=res_fpath,
+                                                               visualize_dir=vis_dir)
             history["epoch"].append(epoch)
             history["train_loss"].append(train_loss)
             history["test_loss"].append(test_loss)
@@ -197,8 +216,21 @@ def main(args=None):
     else:
         trainer.state = restore_weights(ckpt_dir, trainer.state)
     print("Test loaded model...")
-    trainer.test(batch_size=args.batch_size, res_fpath=res_fpath)
+    trainer.test(batch_size=args.batch_size, res_fpath=res_fpath, visualize_dir=vis_dir)
     return trainer
+
+
+def _snapshot_source(logdir: str) -> None:
+    """Copy the package source into ``logdir/scripts`` so every run records
+    the exact code it ran (`main.py:84-88`)."""
+    import shutil
+
+    src = os.path.dirname(os.path.abspath(__file__))
+    dst = os.path.join(logdir, "scripts", "mvdetr_tpu")
+    try:
+        shutil.copytree(src, dst, ignore=shutil.ignore_patterns("__pycache__"), dirs_exist_ok=True)
+    except OSError:
+        pass  # snapshot is best-effort (read-only fs, etc.)
 
 
 def _draw_curve(path: str, history: dict):

@@ -144,6 +144,12 @@ class FrameDataset:
 
         world_pts = ann.world_pts if keep else np.zeros((0, 2))
         world_pids = ann.pids if keep else np.zeros((0,), dtype=np.int64)
+        # Annotations carry dataset-native (grid_x, grid_y); the BEV targets
+        # are built on the xy-indexed model grid (x = column, y = row). On ij
+        # rigs (Wildtrack) native x spans the rows, so swap to (grid_y, grid_x)
+        # before splatting (`frameDataset.py:108-111`).
+        if len(world_pts) and self.rig.indexing == "ij":
+            world_pts = world_pts[:, ::-1]
         world_gt = build_targets(
             self.Rworld_shape,
             world_pts[:, 0] if len(world_pts) else np.zeros((0,)),
@@ -185,9 +191,17 @@ class FrameDataset:
         rng: Optional[np.random.Generator] = None,
         num_workers: int = 0,
         drop_last: Optional[bool] = None,
+        local_slice: Optional[slice] = None,
     ) -> Iterator[dict]:
         """Yield collated batches. ``drop_last`` defaults to True in training
-        so every step sees a full, jit-stable batch."""
+        so every step sees a full, jit-stable batch.
+
+        ``local_slice``: on multi-host runs, the rows of each *global* batch
+        this host should assemble (see
+        :func:`mvdetr_tpu.parallel.process_batch_slice`). Per-item augmentation
+        seeds are drawn for the full global order first, so every host sees an
+        identical stream regardless of its slice.
+        """
         shuffle = self.train if shuffle is None else shuffle
         drop_last = self.train if drop_last is None else drop_last
         rng = rng or self._rng
@@ -196,26 +210,31 @@ class FrameDataset:
             rng.shuffle(order)
         if drop_last:
             order = order[: len(order) - len(order) % batch_size] if len(order) >= batch_size else order
+        seeds = rng.integers(2**31, size=len(order))
+        sel = local_slice if local_slice is not None else slice(None)
 
-        def fetch(i):
-            return self.__getitem__(int(i), rng=np.random.default_rng(rng.integers(2**31)))
+        def fetch(args):
+            i, seed = args
+            return self.__getitem__(int(i), rng=np.random.default_rng(int(seed)))
+
+        chunks = []
+        for start in range(0, len(order), batch_size):
+            idxs = order[start : start + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                continue
+            chunks.append(list(zip(idxs[sel], seeds[start : start + batch_size][sel])))
 
         if num_workers > 0:
+            # one-batch lookahead keeps memory bounded while hiding item latency
             with ThreadPoolExecutor(num_workers) as pool:
-                items = pool.map(fetch, order)
-                chunk = []
-                for item in items:
-                    chunk.append(item)
-                    if len(chunk) == batch_size:
-                        yield collate(chunk)
-                        chunk = []
-                if chunk and not drop_last:
-                    yield collate(chunk)
+                futs = [pool.submit(fetch, pair) for pair in chunks[0]] if chunks else []
+                for ci in range(len(chunks)):
+                    cur = futs
+                    futs = [pool.submit(fetch, pair) for pair in chunks[ci + 1]] if ci + 1 < len(chunks) else []
+                    yield collate([f.result() for f in cur])
         else:
-            for start in range(0, len(order), batch_size):
-                chunk = [fetch(i) for i in order[start : start + batch_size]]
-                if len(chunk) == batch_size or not drop_last:
-                    yield collate(chunk)
+            for chunk in chunks:
+                yield collate([fetch(pair) for pair in chunk])
 
     def steps_per_epoch(self, batch_size: int) -> int:
         n = len(self)

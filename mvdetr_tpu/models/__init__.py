@@ -3,7 +3,7 @@ from mvdetr_tpu.models.heads import OutputHead
 from mvdetr_tpu.models.mvdetr import MVDeTr
 from mvdetr_tpu.models.resnet import ResNetFeatures, load_torchvision_state_dict, resnet18_features
 from mvdetr_tpu.models.transformer import TransformerEncoder
-from mvdetr_tpu.models.vgg import VGG11Features
+from mvdetr_tpu.models.vgg import VGG11Features, load_torchvision_vgg11_state_dict
 from mvdetr_tpu.models.world_feat import build_world_feat
 
 __all__ = [
@@ -16,5 +16,6 @@ __all__ = [
     "VGG11Features",
     "build_world_feat",
     "load_torchvision_state_dict",
+    "load_torchvision_vgg11_state_dict",
     "resnet18_features",
 ]

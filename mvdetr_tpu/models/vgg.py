@@ -29,3 +29,26 @@ class VGG11Features(nn.Module):
                 x = nn.relu(x)
             i += 1
         return x
+
+
+# torchvision vgg11.features conv indices, in order (`mvdetr.py:97-101` keeps
+# all eight convs; only layer 17's ReLU and layer 20's pool are removed).
+_TORCHVISION_CONV_IDX = (0, 3, 6, 8, 11, 13, 16, 18)
+
+
+def load_torchvision_vgg11_state_dict(state_dict) -> dict:
+    """Convert torchvision ``vgg11`` weights (``features.N.weight/bias``,
+    OIHW) to this module's params. Returns ``{"params": ...}`` (no BN)."""
+    import numpy as np
+
+    def arr(key):
+        v = state_dict[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    params = {}
+    for i, t in enumerate(_TORCHVISION_CONV_IDX):
+        params[f"conv{i}"] = {
+            "kernel": np.transpose(arr(f"features.{t}.weight"), (2, 3, 1, 0)),
+            "bias": arr(f"features.{t}.bias"),
+        }
+    return {"params": params}

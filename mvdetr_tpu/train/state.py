@@ -40,11 +40,30 @@ def create_train_state(
     batch_stats = variables.get("batch_stats", {})
 
     if backbone_variables is not None:
+        loaded = jax.tree.map(jnp.asarray, backbone_variables["params"])
+        _check_tree_match(params["base"], loaded, "params/base")
         params = dict(params)
-        params["base"] = backbone_variables["params"]
-        if "batch_stats" in backbone_variables:
+        params["base"] = loaded
+        if "batch_stats" in backbone_variables and backbone_variables["batch_stats"]:
+            loaded_stats = jax.tree.map(jnp.asarray, backbone_variables["batch_stats"])
+            _check_tree_match(batch_stats.get("base", {}), loaded_stats, "batch_stats/base")
             batch_stats = dict(batch_stats)
-            batch_stats["base"] = backbone_variables["batch_stats"]
+            batch_stats["base"] = loaded_stats
 
     tx = build_optimizer(params, lr, total_steps, base_lr_ratio, weight_decay)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)
+
+
+def _check_tree_match(init_tree, loaded_tree, where: str) -> None:
+    """Converted pretrained trees must match the initialized structure and
+    shapes exactly — a silent mismatch would train from garbage."""
+    init_shapes = jax.tree.map(jnp.shape, init_tree)
+    loaded_shapes = jax.tree.map(jnp.shape, loaded_tree)
+    if init_shapes != loaded_shapes:
+
+        def flat(t):
+            return {jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_leaves_with_path(t)}
+
+        a, b = flat(init_shapes), flat(loaded_shapes)
+        diffs = sorted(set(a.items()) ^ set(b.items()))
+        raise ValueError(f"pretrained {where} does not match the model: {diffs[:8]}")

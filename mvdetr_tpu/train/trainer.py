@@ -134,6 +134,8 @@ class Trainer:
         nms_top_k: int = 512,
         logger=print,
         mesh=None,
+        num_workers: int = 0,
+        prefetch: int = 2,
     ):
         self.state = state
         self.train_set = dataset_train
@@ -144,31 +146,72 @@ class Trainer:
         self.nms_top_k = nms_top_k
         self.log = logger
         self.mesh = mesh
+        self.num_workers = num_workers
+        self.prefetch = prefetch
         self._rng = jax.random.PRNGKey(0)
         self._sharded_train = None
+        self._sharded_eval = None
+        self._batch_shardings = None
         if mesh is not None:
-            from mvdetr_tpu.parallel import make_sharded_train_step, replicate_state
+            from mvdetr_tpu.parallel import batch_shardings, make_sharded_train_step, replicate_state
 
             self._sharded_train = make_sharded_train_step(mesh, alpha=alpha, use_mse=use_mse)
+            self._batch_shardings = batch_shardings(mesh)
             self.state = replicate_state(self.state, mesh)
 
     def _step(self, batch, rng):
-        if self._sharded_train is not None:
-            from mvdetr_tpu.parallel import shard_batch
+        return self._step_on(self.state, batch, rng)
 
-            return self._sharded_train(self.state, shard_batch(batch, self.mesh), rng)
-        return train_step(self.state, batch, rng, self.alpha, self.use_mse)
+    def _batches(self, batch_size: int):
+        """Worker-assembled host train batches, staged on device ahead of the
+        step (double-buffered; `main.py:70-73` DataLoader analogue). On
+        multi-host runs each host assembles only its data-axis slice and the
+        slices are stitched into globally sharded arrays."""
+        from mvdetr_tpu.data.prefetch import prefetch_to_device
+
+        put = None
+        local_slice = None
+        if self.mesh is not None and jax.process_count() > 1:
+            from mvdetr_tpu.parallel import global_batch_from_local, process_batch_slice
+
+            local_slice = process_batch_slice(batch_size)
+            put = lambda b: global_batch_from_local(b, self.mesh)
+        it = self.train_set.batches(batch_size, num_workers=self.num_workers, local_slice=local_slice)
+        return prefetch_to_device(it, size=self.prefetch, shardings=self._batch_shardings, put=put)
+
+    def check_determinism(self, batch_size: int = 1) -> None:
+        """Debug aid (reference `--deterministic`, `main.py:43-46` analogue):
+        run the first train step twice from identical state/batch/rng and
+        assert bitwise-identical parameters. XLA is deterministic by design;
+        this guards against nondeterministic custom kernels sneaking in."""
+        batch = next(iter(self._batches(batch_size)))
+        rng = jax.random.PRNGKey(1234)
+        state_a = jax.tree.map(jnp.copy, self.state)
+        state_b = jax.tree.map(jnp.copy, self.state)
+        out_a, _ = self._step_on(state_a, batch, rng)
+        out_b, _ = self._step_on(state_b, batch, rng)
+        mismatch = jax.tree.map(lambda x, y: not bool((x == y).all()), out_a.params, out_b.params)
+        bad = [jax.tree_util.keystr(p) for p, v in jax.tree_util.tree_leaves_with_path(mismatch) if v]
+        assert not bad, f"nondeterministic train step; first mismatching params: {bad[:5]}"
+        self.log("determinism check passed: train step is bitwise reproducible")
+
+    def _step_on(self, state, batch, rng):
+        if self._sharded_train is not None:
+            return self._sharded_train(state, batch, rng)
+        return train_step(state, batch, rng, self.alpha, self.use_mse)
 
     def train_epoch(self, epoch: int, batch_size: int = 1, log_interval: int = 100) -> float:
         t0 = time.time()
-        total, count = 0.0, 0
-        for batch in self.train_set.batches(batch_size):
+        losses_dev, count = [], 0  # device scalars; fetched only at log points
+        for batch in self._batches(batch_size):
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, aux = self._step(batch, step_rng)
-            total += float(aux["loss"])
+            losses_dev.append(aux["loss"])
             count += 1
             if count % log_interval == 0:
+                total = float(jnp.sum(jnp.stack(losses_dev)))
                 self.log(f"Train epoch {epoch} batch {count}: loss {total / count:.6f}, t {time.time() - t0:.1f}s")
+        total = float(jnp.sum(jnp.stack(losses_dev))) if losses_dev else 0.0
         self.log(f"Train epoch {epoch} done: loss {total / max(count, 1):.6f}, t {time.time() - t0:.1f}s")
         return total / max(count, 1)
 
@@ -179,15 +222,33 @@ class Trainer:
         rows = []
         last_batch = None
         indexing_ij = self.train_set.rig.indexing == "ij"
-        for batch in self.test_set.batches(batch_size, shuffle=False, drop_last=False):
-            aux, xys, keep = eval_step(
-                self.state,
-                batch,
-                world_reduce=self.test_set.world_reduce,
-                num_candidates=self.nms_top_k,
-                alpha=self.alpha,
-                use_mse=self.use_mse,
+        if self.mesh is not None and self._sharded_eval is None:
+            from mvdetr_tpu.parallel import make_sharded_eval_step
+
+            self._sharded_eval = make_sharded_eval_step(
+                self.mesh, world_reduce=self.test_set.world_reduce,
+                num_candidates=self.nms_top_k, alpha=self.alpha, use_mse=self.use_mse,
             )
+        data_size = int(self.mesh.shape.get("data", 1)) if self.mesh is not None else 1
+        from mvdetr_tpu.data.prefetch import prefetch_to_device
+
+        host_batches = self.test_set.batches(
+            batch_size, shuffle=False, drop_last=False, num_workers=self.num_workers
+        )
+        for batch in prefetch_to_device(host_batches, size=self.prefetch):
+            if self._sharded_eval is not None and batch["imgs"].shape[0] % data_size == 0:
+                from mvdetr_tpu.parallel import shard_batch
+
+                aux, xys, keep = self._sharded_eval(self.state, shard_batch(batch, self.mesh))
+            else:  # unsharded fallback (ragged final batch, or no mesh)
+                aux, xys, keep = eval_step(
+                    self.state,
+                    batch,
+                    world_reduce=self.test_set.world_reduce,
+                    num_candidates=self.nms_top_k,
+                    alpha=self.alpha,
+                    use_mse=self.use_mse,
+                )
             total += float(aux["loss"])
             count += 1
             last_batch = batch

@@ -101,6 +101,28 @@ def test_gt_array(scene):
     assert set(np.unique(gt[:, 0])).issubset(set(ds.frames))
 
 
+def test_world_targets_ij_swap():
+    """On an ij rig (Wildtrack), world GT must be swapped to model-xy before
+    splatting (`frameDataset.py:108-111`): reg_mask full, cell = (gy/r, gx/r)."""
+    from mvdetr_tpu.geometry import make_wildtrack_like_rig
+
+    rig = make_wildtrack_like_rig(num_cam=4, img_shape=(96, 160), worldgrid_shape=(48, 96))
+    scene_ij = SyntheticScene(rig, num_frame=6, num_person=5, seed=1)
+    ds = FrameDataset(scene_ij, train=True, world_reduce=2, top_k=8)
+    item = ds[0]
+    ann = scene_ij.annotation(ds.frames[0])
+    n = len(ann.pids)
+    assert n > 0
+    mask = item["world_gt"]["reg_mask"]
+    assert mask[:n].all(), f"ij world GT dropped: {mask[:n]}"
+    assert not mask[n:].any()
+    wid = ds.Rworld_shape[1]
+    for k in range(n):
+        gx, gy = ann.world_pts[k]  # native: x spans the rows on ij rigs
+        cell_x, cell_y = int(gy / 2), int(gx / 2)
+        assert item["world_gt"]["idx"][k] == cell_y * wid + cell_x
+
+
 def test_camera_dropout(scene):
     ds = FrameDataset(scene, train=True, dropout=1.0, top_k=8)
     item = ds.__getitem__(0, rng=np.random.default_rng(0))
