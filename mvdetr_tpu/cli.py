@@ -70,7 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_processes", type=int, default=None, help="multi-host: process count")
     parser.add_argument("--process_id", type=int, default=None, help="multi-host: this process index")
     parser.add_argument("--bf16", type=str2bool, default=False, help="bfloat16 compute (params stay f32)")
-    parser.add_argument("--attn_mode", type=str, default="auto", choices=["auto", "gather", "windowed"])
+    parser.add_argument("--attn_mode", type=str, default="auto",
+                        choices=["auto", "gather", "windowed", "warped"])
+    parser.add_argument("--n_points", type=int, default=4, choices=[4, 8],
+                        help="deformable points per (head, level); 8 = shadow reference maps")
     parser.add_argument("--attn_radius", type=int, default=4)
     parser.add_argument("--backbone_ckpt", type=str, default=None,
                         help="torchvision resnet18 .pth/.npz for ImageNet init")
@@ -147,12 +150,27 @@ def main(args=None):
 
     import jax.numpy as jnp
 
+    mesh = None
+    n_dev = len(jax.devices())
+    if args.view_shards > 1 or n_dev > 1:
+        from mvdetr_tpu.parallel import make_mesh
+
+        # data axis must divide the batch; view axis must divide the cameras
+        data_size = max(1, min(n_dev // args.view_shards, args.batch_size))
+        while args.batch_size % data_size:
+            data_size -= 1
+        usable = data_size * args.view_shards
+        if usable > 1:
+            mesh = make_mesh(num_view_shards=args.view_shards, devices=jax.devices()[:usable])
+            print(f"mesh: {dict(mesh.shape)}")
+
     model = MVDeTr.from_rig(
         rig, world_reduce=args.world_reduce, img_reduce=args.img_reduce, arch=args.arch,
         world_feat_arch=args.world_feat, bottleneck_dim=args.bottleneck_dim,
         outfeat_dim=args.outfeat_dim, dropout=args.dropout,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        attn_mode=args.attn_mode, attn_radius=args.attn_radius,
+        attn_mode=args.attn_mode, attn_radius=args.attn_radius, n_points=args.n_points,
+        mesh=mesh,
     )
 
     backbone_vars = None
@@ -175,20 +193,6 @@ def main(args=None):
         base_lr_ratio=args.base_lr_ratio, weight_decay=args.weight_decay, seed=args.seed,
         backbone_variables=backbone_vars,
     )
-
-    mesh = None
-    n_dev = len(jax.devices())
-    if args.view_shards > 1 or n_dev > 1:
-        from mvdetr_tpu.parallel import make_mesh
-
-        # data axis must divide the batch; view axis must divide the cameras
-        data_size = max(1, min(n_dev // args.view_shards, args.batch_size))
-        while args.batch_size % data_size:
-            data_size -= 1
-        usable = data_size * args.view_shards
-        if usable > 1:
-            mesh = make_mesh(num_view_shards=args.view_shards, devices=jax.devices()[:usable])
-            print(f"mesh: {dict(mesh.shape)}")
 
     trainer = Trainer(state, train_set, test_set, cls_thres=args.cls_thres, alpha=args.alpha,
                       use_mse=args.use_mse, mesh=mesh, num_workers=args.num_workers)

@@ -24,19 +24,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from mvdetr_tpu.ops.msda import ms_deform_attn, ms_deform_attn_same_shape
+from mvdetr_tpu.ops.msda_warped import ms_deform_attn_warped
 from mvdetr_tpu.ops.msda_windowed import windowed_attention
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
 
-def radial_offset_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
-    """Head-h points initialize along direction 2*pi*h/H, ring radius i+1 per point."""
+def radial_offset_bias(n_heads: int, n_levels: int, n_points: int,
+                       max_radius: Optional[float] = None) -> np.ndarray:
+    """Head-h points initialize along direction 2*pi*h/H, ring radius i+1 per
+    point (`ms_deform_attn.py:62-71`). ``max_radius`` rescales the rings so the
+    outermost lands exactly at the windowed clamp instead of beyond it."""
     thetas = np.arange(n_heads, dtype=np.float64) * (2.0 * math.pi / n_heads)
     grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)
     grid = grid / np.abs(grid).max(-1, keepdims=True)
     grid = np.tile(grid.reshape(n_heads, 1, 1, 2), (1, n_levels, n_points, 1))
     for i in range(n_points):
         grid[:, :, i, :] *= i + 1
+    if max_radius is not None and n_points > max_radius:
+        grid *= max_radius / n_points
     return grid.reshape(-1).astype(np.float32)
 
 
@@ -49,6 +55,10 @@ class MSDeformAttn(nn.Module):
       shifted-window sampling, exact for identity reference points with
       offsets clamped to ``radius`` cells. Requires same-shape levels and
       queries that are aligned copies of the level grid.
+    - ``'warped'``: the TPU fast path for general (non-identity) reference
+      maps, e.g. the 8-point shadow config — shadow-warp the value stack
+      once, then windowed sampling on the warped charts
+      (`ops/msda_warped.py`). Same alignment requirements as 'windowed'.
     """
 
     d_model: int = 128
@@ -77,10 +87,11 @@ class MSDeformAttn(nn.Module):
                          name="value_proj")(input_flatten)
         value = value.reshape(b, s, m, d)
 
+        max_r = float(self.radius) if self.mode in ("windowed", "warped") else None
         offsets = nn.Dense(
             m * l * p * 2,
             kernel_init=nn.initializers.zeros,
-            bias_init=lambda *_: jnp.asarray(radial_offset_bias(m, l, p)),
+            bias_init=lambda *_: jnp.asarray(radial_offset_bias(m, l, p, max_radius=max_r)),
             dtype=self.dtype,
             name="sampling_offsets",
         )(query).reshape(b, q, m, l, p, 2).astype(jnp.float32)
@@ -92,22 +103,41 @@ class MSDeformAttn(nn.Module):
         weights = weights.astype(value.dtype)
 
         shapes = tuple((int(h_), int(w_)) for h_, w_ in spatial_shapes)
-        if self.mode == "windowed":
+        normalizer = jnp.asarray([[float(w2), float(h2)] for h2, w2 in shapes], dtype=jnp.float32)
+        if reference_points.ndim == 4:  # [B, Q, L, 2]
+            ref = reference_points[:, :, None, :, None, :]
+        elif reference_points.ndim == 5:  # [B, Q, L, P, 2] — MVDeTr per-point refs
+            ref = reference_points[:, :, None, :, :, :]
+        else:
+            raise ValueError(f"bad reference_points rank: {reference_points.shape}")
+
+        # Shadow-figure capture (`mvdetr.py:163-175` parity): dead code under
+        # jit unless the caller requests mutable=["intermediates"].
+        off_viz = jnp.clip(offsets, -float(self.radius), float(self.radius)) \
+            if self.mode in ("windowed", "warped") else offsets
+        self.sow("intermediates", "viz_sampling_locations",
+                 ref + off_viz / normalizer[None, None, None, :, None, :])
+        self.sow("intermediates", "viz_attention_weights", weights)
+        if self.mode in ("windowed", "warped"):
+            self.sow("intermediates", "offset_clip_fraction",
+                     jnp.mean((jnp.abs(offsets) > float(self.radius)).astype(jnp.float32)))
+
+        if self.mode in ("windowed", "warped"):
             h_, w_ = shapes[0]
-            assert len(set(shapes)) == 1 and q % (h_ * w_) == 0, "windowed mode needs aligned grids"
+            assert len(set(shapes)) == 1 and q % (h_ * w_) == 0, f"{self.mode} mode needs aligned grids"
             c = q // (h_ * w_)
             v = value.reshape(b, l, h_, w_, m, d)  # S is level-major
             off = offsets.reshape(b, c, h_, w_, m, l, p, 2)
             wgt = weights.reshape(b, c, h_, w_, m, l, p)
-            out = windowed_attention(v, off, wgt, radius=self.radius)
-        else:
-            normalizer = jnp.asarray([[float(w2), float(h2)] for h2, w2 in shapes], dtype=jnp.float32)
-            if reference_points.ndim == 4:  # [B, Q, L, 2]
-                ref = reference_points[:, :, None, :, None, :]
-            elif reference_points.ndim == 5:  # [B, Q, L, P, 2] — MVDeTr per-point refs
-                ref = reference_points[:, :, None, :, :, :]
+            if self.mode == "windowed":
+                out = windowed_attention(v, off, wgt, radius=self.radius)
             else:
-                raise ValueError(f"bad reference_points rank: {reference_points.shape}")
+                # camera query copies share the reference map (`mvdetr.py:129-130`)
+                ref_map = reference_points[0].reshape(c, h_ * w_, l, p, 2)[0] \
+                    if reference_points.ndim == 5 else \
+                    jnp.tile(reference_points[0].reshape(c, h_ * w_, l, 1, 2)[0], (1, 1, p, 1))
+                out = ms_deform_attn_warped(v, ref_map, off, wgt, radius=self.radius)
+        else:
             locations = ref + offsets / normalizer[None, None, None, :, None, :]
             if len(set(shapes)) == 1:
                 out = ms_deform_attn_same_shape(value, shapes[0], len(shapes), locations, weights)

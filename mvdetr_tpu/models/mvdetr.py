@@ -44,8 +44,13 @@ class MVDeTr(nn.Module):
     reference_points: Optional[np.ndarray] = None  # [N*Hs*Ws, N, P, 2] for deform_trans
     n_points: int = 4
     compute_dtype: object = None  # e.g. jnp.bfloat16; params and losses stay f32
-    attn_mode: str = "auto"  # deformable sampling: 'auto' | 'gather' | 'windowed'
+    attn_mode: str = "auto"  # deformable sampling: 'auto' | 'gather' | 'windowed' | 'warped'
     attn_radius: int = 4
+    # Optional jax.sharding.Mesh: states the SPMD strategy explicitly — the
+    # per-view stack is constrained to P(('data','view')) so backbone + warp
+    # stay shard-local, and the warped BEV stack to P('data','view') so the
+    # encoder's value all-gather is the stated (and only) view collective.
+    mesh: Optional[object] = None
 
     @classmethod
     def from_rig(
@@ -62,6 +67,7 @@ class MVDeTr(nn.Module):
         compute_dtype=None,
         attn_mode: str = "auto",
         attn_radius: int = 4,
+        mesh=None,
     ) -> "MVDeTr":
         """Build from a :class:`CameraRig`, deriving projection matrices and
         reference maps (`mvdetr.py:82-95,129-130`)."""
@@ -84,6 +90,7 @@ class MVDeTr(nn.Module):
             compute_dtype=compute_dtype,
             attn_mode=attn_mode,
             attn_radius=attn_radius,
+            mesh=mesh,
         )
 
     @nn.compact
@@ -94,6 +101,7 @@ class MVDeTr(nn.Module):
         b, n, h, w, _ = imgs.shape
         assert n == self.num_cam
         x = imgs.reshape(b * n, h, w, 3)
+        x = self._constrain(x, (b, n), ("data", "view"), fused=True)
 
         # backbone params live under params['base'] — the boundary the
         # two-group optimizer keys on (`main.py:100-104`)
@@ -129,6 +137,7 @@ class MVDeTr(nn.Module):
         world_in = perspective_warp(feat, full_proj, self.Rworld_shape)
         c = world_in.shape[-1]
         world_in = world_in.reshape(b, n, self.Rworld_shape[0], self.Rworld_shape[1], c)
+        world_in = self._constrain(world_in, (b, n), ("data", "view"))
 
         world_feat = build_world_feat(
             self.world_feat_arch,
@@ -147,3 +156,25 @@ class MVDeTr(nn.Module):
         world_offset = OutputHead(2, self.outfeat_dim, dtype=self.compute_dtype, name="world_offset")(world_feat)
 
         return (world_heatmap, world_offset), (imgs_heatmap, imgs_offset, imgs_wh)
+
+    def _constrain(self, x, dims, axes, fused: bool = False):
+        """``with_sharding_constraint`` against ``self.mesh`` (no-op without a
+        mesh, or when ``dims`` don't divide the mesh — e.g. the batch-1 init
+        trace). ``fused=True`` means axis 0 carries the flattened (batch,
+        view) product — sharded over both mesh axes jointly."""
+        if self.mesh is None:
+            return x
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sizes = dict(self.mesh.shape)
+        names = [a if a in sizes and d % sizes[a] == 0 else None for d, a in zip(dims, axes)]
+        if not any(names):
+            return x
+        if fused:
+            if None in names:
+                return x
+            spec = PartitionSpec(tuple(names))
+        else:
+            spec = PartitionSpec(*names)
+        return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))

@@ -127,8 +127,10 @@ class DeformTransWorldFeat(nn.Module):
     attn_radius: int = 4
 
     def _resolve_mode(self, hs: int, ws: int) -> str:
-        """'auto' -> windowed when the reference map is the identity grid
-        (the n_points=4, all-z=0 flagship case, `mvdetr.py:39-40`)."""
+        """'auto' -> 'windowed' when the reference map is the identity grid
+        (the n_points=4, all-z=0 flagship case, `mvdetr.py:39-40`); 'warped'
+        (shadow-warp + windowed, `ops/msda_warped.py`) for general maps like
+        the 8-point shadow config (`mvdetr.py:41-44`)."""
         if self.attn_mode != "auto":
             return self.attn_mode
         if self.reference_points is None:
@@ -139,7 +141,7 @@ class DeformTransWorldFeat(nn.Module):
         ident = np.stack([xs, ys], -1).reshape(-1, 2)
         ident = np.tile(ident[None, :, None, None, :],
                         (ref.shape[0] // (hs * ws), 1, ref.shape[1], ref.shape[2], 1)).reshape(ref.shape)
-        return "windowed" if np.allclose(ref, ident, atol=1e-3) else "gather"
+        return "windowed" if np.allclose(ref, ident, atol=1e-3) else "warped"
 
     @nn.compact
     def __call__(self, x, train: bool = True):

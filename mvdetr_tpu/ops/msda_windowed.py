@@ -70,9 +70,11 @@ def ms_deform_attn_windowed(
     r = radius
 
     vpad = jnp.pad(value.reshape(b, l, h, w, m * d), ((0, 0), (0, 0), (r, r), (r, r), (0, 0)))
-    lim = r - 1e-4
-    ox = jnp.clip(offsets[..., 0].astype(jnp.float32), -lim, lim)
-    oy = jnp.clip(offsets[..., 1].astype(jnp.float32), -lim, lim)
+    # clamp to exactly ±r: position r decomposes as hat(0) at shift r with a
+    # zero-weight corner at r+1, so the radial init's outermost ring (4 cells,
+    # `models/deformable.py:32-40`) is representable without clipping
+    ox = jnp.clip(offsets[..., 0].astype(jnp.float32), -float(r), float(r))
+    oy = jnp.clip(offsets[..., 1].astype(jnp.float32), -float(r), float(r))
     wgt = weights.astype(jnp.float32)
 
     win = 2 * r + 1
@@ -110,10 +112,14 @@ def windowed_attention(value, offsets, weights, radius: int = 4, use_pallas: boo
     import jax
 
     m, d = value.shape[-2], value.shape[-1]
+    num_l = value.shape[1]
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
             and (m * d) % 128 == 0
+            # the kernel stages a [TH+2R, W+2R, L*M*D] halo tile in VMEM; past
+            # ~8 levels (e.g. the warped L*P pseudo-level stack) it can't fit
+            and num_l <= 8
             and os.environ.get("MVDETR_NO_PALLAS", "0") != "1"
         )
     if not use_pallas:
@@ -129,10 +135,8 @@ import jax as _jax  # noqa: E402
 def _pallas_windowed(radius, value, offsets, weights):
     from mvdetr_tpu.ops.pallas.msda_kernel import msda_windowed_pallas
 
-    b = value.shape[0]
-    outs = [msda_windowed_pallas(value[i], offsets[i], weights[i], radius) for i in range(b)]
-    out = jnp.stack(outs)  # [B, C, H, W, K]
-    _, c, h, w, k = out.shape
+    out = msda_windowed_pallas(value, offsets, weights, radius)  # [B, C, H, W, K]
+    b, c, h, w, k = out.shape
     return out.reshape(b, c * h * w, k)
 
 
@@ -147,13 +151,7 @@ def _pallas_windowed_bwd(radius, residuals, g):
     b, l, h, w, m, d = value.shape
     c = offsets.shape[1]
     g = g.reshape(b, c, h, w, m * d)
-    gvs, gos, gws = [], [], []
-    for i in range(b):
-        gv, go, gw = msda_windowed_pallas_bwd(value[i], offsets[i], weights[i], g[i], radius)
-        gvs.append(gv)
-        gos.append(go)
-        gws.append(gw)
-    return jnp.stack(gvs), jnp.stack(gos), jnp.stack(gws)
+    return msda_windowed_pallas_bwd(value, offsets, weights, g, radius)
 
 
 _pallas_windowed.defvjp(_pallas_windowed_fwd, _pallas_windowed_bwd)

@@ -24,8 +24,9 @@ The dots run at DEFAULT precision (single MXU pass): only the attention
 weights pass through them (~0.4% relative rounding — training noise), the
 values never do.
 
-Falls back to the XLA implementation off-TPU or for K % 128 != 0. Backward
-currently reuses the XLA windowed implementation through ``jax.vjp``.
+Falls back to the XLA implementation off-TPU or for K % 128 != 0. The
+backward runs its own Pallas kernel (`ops/pallas/msda_kernel_bwd.py`) wired
+through the ``custom_vjp`` in `ops/msda_windowed.py`.
 """
 
 from __future__ import annotations
@@ -57,8 +58,9 @@ def _select_matrices(m: int, l: int, p: int, d: int):
 
 def _kernel(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref, vtile, sem,
             *, radius, th, tw, vwidth, num_l, num_m, num_d):
-    i = pl.program_id(0)
-    c = pl.program_id(1)
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    c = pl.program_id(2)
     k = num_m * num_d
     lk = num_l * k
     t = th * tw
@@ -67,16 +69,16 @@ def _kernel(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref, vtile, sem,
     @pl.when(c == 0)
     def _():
         dma = pltpu.make_async_copy(
-            value_ref.at[pl.ds(i * th, th + 2 * radius), pl.ds(0, vwidth), :],
+            value_ref.at[bb, pl.ds(i * th, th + 2 * radius), pl.ds(0, vwidth), :],
             vtile,
             sem,
         )
         dma.start()
         dma.wait()
 
-    ox = ox_ref[0].reshape(t, ox_ref.shape[-1])  # [T, PLM]
-    oy = oy_ref[0].reshape(t, oy_ref.shape[-1])
-    wgt = w_ref[0].reshape(t, w_ref.shape[-1])
+    ox = ox_ref[0, 0].reshape(t, ox_ref.shape[-1])  # [T, PLM]
+    oy = oy_ref[0, 0].reshape(t, oy_ref.shape[-1])
+    wgt = w_ref[0, 0].reshape(t, w_ref.shape[-1])
 
     def body_dy(dyi, acc):
         haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - (dyi - radius).astype(jnp.float32)))
@@ -94,7 +96,7 @@ def _kernel(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref, vtile, sem,
         return acc
 
     acc = jax.lax.fori_loop(0, win, body_dy, jnp.zeros((t, k), jnp.float32))
-    out_ref[0] = acc.reshape(th, tw, k)
+    out_ref[0, 0] = acc.reshape(th, tw, k)
 
 
 def _pick_tile(n: int, target: int) -> int:
@@ -105,18 +107,20 @@ def _pick_tile(n: int, target: int) -> int:
 
 
 def msda_windowed_pallas(
-    value: jnp.ndarray,  # [L, H, W, M, D]
-    offsets: jnp.ndarray,  # [C, H, W, M, L, P, 2]
-    weights: jnp.ndarray,  # [C, H, W, M, L, P]
+    value: jnp.ndarray,  # [B, L, H, W, M, D]
+    offsets: jnp.ndarray,  # [B, C, H, W, M, L, P, 2]
+    weights: jnp.ndarray,  # [B, C, H, W, M, L, P]
     radius: int = 4,
     kernel_dtype=jnp.bfloat16,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Single-batch forward. Returns [C, H, W, M*D] float32."""
+    """Batched forward. Returns [B, C, H, W, M*D] float32; the batch rides a
+    grid axis (one value-tile DMA per (batch, row-block), reused across the C
+    query cameras)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    l, h, w, m, d = value.shape
-    c, _, _, _, _, p = weights.shape
+    b, l, h, w, m, d = value.shape
+    c, p = weights.shape[1], weights.shape[-1]
     k = m * d
     plm = p * l * m
     if k % 128 != 0:
@@ -130,29 +134,30 @@ def msda_windowed_pallas(
     vwidth = tw + 2 * radius
     vwidth += (-vwidth) % 8
 
-    # value: [L, H, W, K] -> [H, W, L*K] channel-fused, padded with halo
-    vfused = jnp.moveaxis(value.reshape(l, h, w, k), 0, 2).reshape(h, w, l * k)
+    # value: [B, L, H, W, K] -> [B, H, W, L*K] channel-fused, padded with halo
+    vfused = jnp.moveaxis(value.reshape(b, l, h, w, k), 1, 3).reshape(b, h, w, l * k)
     vp = jnp.pad(
-        vfused, ((radius, radius), (radius, vwidth - w - radius), (0, 0))
+        vfused, ((0, 0), (radius, radius), (radius, vwidth - w - radius), (0, 0))
     ).astype(kernel_dtype)
 
-    def prep(x):  # [C, H, W, M, L, P] -> padded [C, H, Wp, PLM], channel order (p, l, m)
-        x = jnp.transpose(x, (0, 1, 2, 5, 4, 3)).reshape(c, h, w, plm).astype(jnp.float32)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    def prep(x):  # [B, C, H, W, M, L, P] -> padded [B, C, H, Wp, PLM], channel order (p, l, m)
+        x = jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4)).reshape(b, c, h, w, plm).astype(jnp.float32)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
 
-    lim = radius - 1e-4
+    lim = float(radius)  # ±radius exactly — the +1 corner carries zero weight
     ox = prep(jnp.clip(offsets[..., 0], -lim, lim))
     oy = prep(jnp.clip(offsets[..., 1], -lim, lim))
     wg = prep(weights)
 
     s_mat, e_mat = _select_matrices(m, l, p, d)
 
-    grid = (h // th, c)
-    qspec = pl.BlockSpec((1, th, tw, plm), lambda i, cc: (cc, i, 0, 0), memory_space=pltpu.VMEM)
+    grid = (b, h // th, c)
+    qspec = pl.BlockSpec((1, 1, th, tw, plm), lambda bb, i, cc: (bb, cc, i, 0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, radius=radius, th=th, tw=tw, vwidth=vwidth,
                           num_l=l, num_m=m, num_d=d),
-        out_shape=jax.ShapeDtypeStruct((c, h, wp, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, wp, k), jnp.float32),
         grid=grid,
         in_specs=[
             qspec,
@@ -160,9 +165,10 @@ def msda_windowed_pallas(
             qspec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # S
             pl.BlockSpec(memory_space=pltpu.VMEM),  # E
-            pl.BlockSpec(memory_space=pltpu.ANY),  # value (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # value (manual DMA)
         ],
-        out_specs=pl.BlockSpec((1, th, tw, k), lambda i, cc: (cc, i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, th, tw, k), lambda bb, i, cc: (bb, cc, i, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((th + 2 * radius, vwidth, l * k), kernel_dtype),
             pltpu.SemaphoreType.DMA,
@@ -170,4 +176,4 @@ def msda_windowed_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(ox, oy, wg, jnp.asarray(s_mat), jnp.asarray(e_mat), vp)
-    return out[:, :, :w, :]
+    return out[:, :, :, :w, :]

@@ -31,8 +31,9 @@ from mvdetr_tpu.ops.pallas.msda_kernel import _pick_tile, _select_matrices
 def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, value_ref,
                 gox_ref, goy_ref, gw_ref, gv_ref, vtile, sem,
                 *, radius, th, tw, vwidth, num_l, num_m, num_d):
-    i = pl.program_id(0)
-    c = pl.program_id(1)
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    c = pl.program_id(2)
     k = num_m * num_d
     lk = num_l * k
     t = th * tw
@@ -41,7 +42,7 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
     @pl.when(c == 0)
     def _():
         dma = pltpu.make_async_copy(
-            value_ref.at[pl.ds(i * th, th + 2 * radius), pl.ds(0, vwidth), :],
+            value_ref.at[bb, pl.ds(i * th, th + 2 * radius), pl.ds(0, vwidth), :],
             vtile,
             sem,
         )
@@ -49,10 +50,10 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
         dma.wait()
         gv_ref[...] = jnp.zeros(gv_ref.shape, gv_ref.dtype)
 
-    ox = ox_ref[0].reshape(t, ox_ref.shape[-1])  # [T, PLM]
-    oy = oy_ref[0].reshape(t, oy_ref.shape[-1])
-    wgt = w_ref[0].reshape(t, w_ref.shape[-1])
-    g = g_ref[0].reshape(t, k).astype(jnp.float32)
+    ox = ox_ref[0, 0].reshape(t, ox_ref.shape[-1])  # [T, PLM]
+    oy = oy_ref[0, 0].reshape(t, oy_ref.shape[-1])
+    wgt = w_ref[0, 0].reshape(t, w_ref.shape[-1])
+    g = g_ref[0, 0].reshape(t, k).astype(jnp.float32)
     gtile = jnp.concatenate([g] * num_l, axis=1)  # [T, L*K]
 
     def body_dy(dyi, carry):
@@ -75,8 +76,8 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
 
             # d value: cw * g, accumulated at the shifted window position
             gv_contrib = (cwlk * gtile).reshape(th, tw, lk).astype(gv_ref.dtype)
-            cur = gv_ref[0, pl.ds(dyi, th), dxi : dxi + tw, :]
-            gv_ref[0, pl.ds(dyi, th), dxi : dxi + tw, :] = cur + gv_contrib
+            cur = gv_ref[0, 0, pl.ds(dyi, th), dxi : dxi + tw, :]
+            gv_ref[0, 0, pl.ds(dyi, th), dxi : dxi + tw, :] = cur + gv_contrib
 
             # d cw3 back through the two selection matmuls
             dlk = vwin * gtile  # [T, LK]
@@ -90,25 +91,26 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
     zeros = jnp.zeros_like(ox)
     gox, goy, gw = jax.lax.fori_loop(0, win, body_dy, (zeros, zeros, zeros))
     plm = ox_ref.shape[-1]
-    gox_ref[0] = gox.reshape(th, tw, plm)
-    goy_ref[0] = goy.reshape(th, tw, plm)
-    gw_ref[0] = gw.reshape(th, tw, plm)
+    gox_ref[0, 0] = gox.reshape(th, tw, plm)
+    goy_ref[0, 0] = goy.reshape(th, tw, plm)
+    gw_ref[0, 0] = gw.reshape(th, tw, plm)
 
 
 def msda_windowed_pallas_bwd(
-    value: jnp.ndarray,  # [L, H, W, M, D]
-    offsets: jnp.ndarray,  # [C, H, W, M, L, P, 2]
-    weights: jnp.ndarray,  # [C, H, W, M, L, P]
-    g: jnp.ndarray,  # [C, H, W, K] cotangent of the forward output
+    value: jnp.ndarray,  # [B, L, H, W, M, D]
+    offsets: jnp.ndarray,  # [B, C, H, W, M, L, P, 2]
+    weights: jnp.ndarray,  # [B, C, H, W, M, L, P]
+    g: jnp.ndarray,  # [B, C, H, W, K] cotangent of the forward output
     radius: int = 4,
     kernel_dtype=jnp.bfloat16,
     interpret: bool | None = None,
 ):
-    """Returns (g_value, g_offsets, g_weights) with the input shapes."""
+    """Returns (g_value, g_offsets, g_weights) with the input shapes; the
+    batch rides a grid axis like the forward."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    l, h, w, m, d = value.shape
-    c, _, _, _, _, p = weights.shape
+    b, l, h, w, m, d = value.shape
+    c, p = weights.shape[1], weights.shape[-1]
     k = m * d
     plm = p * l * m
 
@@ -118,35 +120,37 @@ def msda_windowed_pallas_bwd(
     vwidth = tw + 2 * radius
     vwidth += (-vwidth) % 8
 
-    vfused = jnp.moveaxis(value.reshape(l, h, w, k), 0, 2).reshape(h, w, l * k)
-    vp = jnp.pad(vfused, ((radius, radius), (radius, vwidth - w - radius), (0, 0))).astype(kernel_dtype)
+    vfused = jnp.moveaxis(value.reshape(b, l, h, w, k), 1, 3).reshape(b, h, w, l * k)
+    vp = jnp.pad(vfused, ((0, 0), (radius, radius), (radius, vwidth - w - radius), (0, 0))).astype(kernel_dtype)
 
     def prep(x):
-        x = jnp.transpose(x, (0, 1, 2, 5, 4, 3)).reshape(c, h, w, plm).astype(jnp.float32)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        x = jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4)).reshape(b, c, h, w, plm).astype(jnp.float32)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
 
-    lim = radius - 1e-4
-    in_range_x = jnp.abs(offsets[..., 0]) < lim  # clip pass-through mask
-    in_range_y = jnp.abs(offsets[..., 1]) < lim
+    lim = float(radius)  # ±radius exactly — matches the forward clamp
+    in_range_x = jnp.abs(offsets[..., 0]) <= lim  # clip pass-through mask
+    in_range_y = jnp.abs(offsets[..., 1]) <= lim
     ox = prep(jnp.clip(offsets[..., 0], -lim, lim))
     oy = prep(jnp.clip(offsets[..., 1], -lim, lim))
     wg = prep(weights)
-    gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
 
     s_mat, e_mat = _select_matrices(m, l, p, d)
 
     n_h = h // th
-    grid = (n_h, c)
-    qspec = pl.BlockSpec((1, th, tw, plm), lambda i, cc: (cc, i, 0, 0), memory_space=pltpu.VMEM)
-    gspec = pl.BlockSpec((1, th, tw, k), lambda i, cc: (cc, i, 0, 0), memory_space=pltpu.VMEM)
+    grid = (b, n_h, c)
+    qspec = pl.BlockSpec((1, 1, th, tw, plm), lambda bb, i, cc: (bb, cc, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, 1, th, tw, k), lambda bb, i, cc: (bb, cc, i, 0, 0),
+                         memory_space=pltpu.VMEM)
     gox, goy, gw, gv_blocks = pl.pallas_call(
         functools.partial(_bwd_kernel, radius=radius, th=th, tw=tw, vwidth=vwidth,
                           num_l=l, num_m=m, num_d=d),
         out_shape=(
-            jax.ShapeDtypeStruct((c, h, wp, plm), jnp.float32),
-            jax.ShapeDtypeStruct((c, h, wp, plm), jnp.float32),
-            jax.ShapeDtypeStruct((c, h, wp, plm), jnp.float32),
-            jax.ShapeDtypeStruct((n_h, th + 2 * radius, vwidth, l * k), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, h, wp, plm), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, h, wp, plm), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, h, wp, plm), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_h, th + 2 * radius, vwidth, l * k), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -155,16 +159,16 @@ def msda_windowed_pallas_bwd(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # E
             pl.BlockSpec(memory_space=pltpu.VMEM),  # S^T
             pl.BlockSpec(memory_space=pltpu.VMEM),  # E^T
-            pl.BlockSpec(memory_space=pltpu.ANY),  # value (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # value (manual DMA)
         ],
         out_specs=(
             qspec,
             qspec,
             qspec,
             # constant index over the camera axis: the slab stays resident and
-            # accumulates across cameras, written back once per row-block
-            pl.BlockSpec((1, th + 2 * radius, vwidth, l * k), lambda i, cc: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # accumulates across cameras, written back once per (batch, row-block)
+            pl.BlockSpec((1, 1, th + 2 * radius, vwidth, l * k),
+                         lambda bb, i, cc: (bb, i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((th + 2 * radius, vwidth, l * k), kernel_dtype),
@@ -176,15 +180,15 @@ def msda_windowed_pallas_bwd(
       jnp.asarray(s_mat.T.copy()), jnp.asarray(e_mat.T.copy()), vp)
 
     # overlap-add the halo'd row slabs, strip padding, unfuse channels
-    gv_full = jnp.zeros((h + 2 * radius, vwidth, l * k), jnp.float32)
+    gv_full = jnp.zeros((b, h + 2 * radius, vwidth, l * k), jnp.float32)
     for i in range(n_h):
-        gv_full = gv_full.at[i * th : i * th + th + 2 * radius].add(gv_blocks[i])
-    gv = gv_full[radius : radius + h, radius : radius + w, :]
-    g_value = jnp.moveaxis(gv.reshape(h, w, l, k), 2, 0).reshape(l, h, w, m, d).astype(value.dtype)
+        gv_full = gv_full.at[:, i * th : i * th + th + 2 * radius].add(gv_blocks[:, i])
+    gv = gv_full[:, radius : radius + h, radius : radius + w, :]
+    g_value = jnp.moveaxis(gv.reshape(b, h, w, l, k), 3, 1).reshape(b, l, h, w, m, d).astype(value.dtype)
 
-    def unprep(x):  # [C, H, Wp, PLM] -> [C, H, W, M, L, P]
-        x = x[:, :, :w, :].reshape(c, h, w, p, l, m)
-        return jnp.transpose(x, (0, 1, 2, 5, 4, 3))
+    def unprep(x):  # [B, C, H, Wp, PLM] -> [B, C, H, W, M, L, P]
+        x = x[:, :, :, :w, :].reshape(b, c, h, w, p, l, m)
+        return jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4))
 
     g_off = jnp.stack([unprep(gox) * in_range_x, unprep(goy) * in_range_y], axis=-1)
     g_wgt = unprep(gw).astype(weights.dtype)

@@ -115,6 +115,69 @@ def shadow_points(
     return out
 
 
+def capture_attention(state, batch):
+    """Forward pass capturing the deformable-attention internals the shadow
+    figures need (`deform_visualize.py:44-139` inputs; the reference dumps
+    them from forward under ``visualize=True``, `mvdetr.py:163-175`).
+
+    Returns (outputs, layers) where ``layers`` is a list over encoder layers
+    of dicts with ``sampling_locations [B, Q, M, L, P, 2]`` (normalized) and
+    ``attention_weights [B, Q, M, L, P]`` numpy arrays.
+    """
+    outputs, mods = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["imgs"], batch["affine_mats"], train=False, mutable=["intermediates"],
+    )
+    inter = mods.get("intermediates", {})
+
+    found = {}
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+        else:  # sow stores a tuple of values
+            if path[-1] in ("viz_sampling_locations", "viz_attention_weights"):
+                layer = next((p for p in path if p.startswith("layer")), "layer0")
+                key = path[-1].replace("viz_", "")
+                found.setdefault(layer, {})[key] = np.asarray(tree[0])
+
+    walk(inter, ())
+    layers = [found[k] for k in sorted(found)]
+    return outputs, layers
+
+
+def shadow_backprojected(
+    rig: CameraRig,
+    sampling_locations: np.ndarray,  # [Q, M, L, P, 2] normalized (one batch item)
+    attention_weights: np.ndarray,  # [Q, M, L, P]
+    query_index: int,
+    world_reduce: int = 4,
+    downsample: int = 2,
+):
+    """Back-project one query's attended points into every camera image.
+
+    Returns (bev_pts, per_cam) where ``bev_pts[cam] = (pts [M*P, 2] in
+    downsampled BEV cells, weights [M*P])`` and ``per_cam[cam] = (image-plane
+    points [M*P, 2] at z=0, weights)`` — the data behind the paper's shadow
+    figures (`deform_visualize.py:44-139`).
+    """
+    loc = np.asarray(sampling_locations)[query_index]  # [M, L, P, 2]
+    wgt = np.asarray(attention_weights)[query_index]  # [M, L, P]
+    hs, ws = (v // downsample for v in rig.Rworld_shape(world_reduce))
+    grid_from_coord = rig.Rworldgrid_from_worldcoord_mat(world_reduce, downsample)
+    coord_from_grid = np.linalg.inv(grid_from_coord)
+    bev, cams = {}, {}
+    for cam in range(loc.shape[1]):
+        pts_grid = loc[:, cam].reshape(-1, 2) * np.array([ws, hs])  # xy cells
+        weights = wgt[:, cam].reshape(-1)
+        wc = project_points(coord_from_grid, pts_grid)
+        img_pts = project_points(rig.imgcoord_from_worldcoord_mat(cam, 0.0), wc)
+        bev[cam] = (pts_grid, weights)
+        cams[cam] = (img_pts, weights)
+    return bev, cams
+
+
 def detection_video_frames(rig: CameraRig, det_rows: np.ndarray, images_by_frame, box_wh_m=(0.5, 1.8)):
     """Overlay detections (frame, x, y in native grid) as boxes on each camera.
 

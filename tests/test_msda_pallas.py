@@ -12,10 +12,10 @@ from mvdetr_tpu.ops.pallas.msda_kernel import msda_windowed_pallas
 
 @pytest.mark.parametrize("radius", [2, 4])
 def test_pallas_kernel_matches_xla(radius, rng):
-    l, h, w, m, d, p, c = 3, 8, 16, 8, 16, 4, 3
-    value = rng.standard_normal((l, h, w, m, d)).astype(np.float32)
-    off = rng.uniform(-(radius - 0.5), radius - 0.5, (c, h, w, m, l, p, 2)).astype(np.float32)
-    wgt = rng.uniform(0, 1, (c, h, w, m, l, p)).astype(np.float32)
+    b, l, h, w, m, d, p, c = 2, 3, 8, 16, 8, 16, 4, 3
+    value = rng.standard_normal((b, l, h, w, m, d)).astype(np.float32)
+    off = rng.uniform(-(radius - 0.5), radius - 0.5, (b, c, h, w, m, l, p, 2)).astype(np.float32)
+    wgt = rng.uniform(0, 1, (b, c, h, w, m, l, p)).astype(np.float32)
     wgt /= wgt.sum(axis=(-1, -2), keepdims=True)
 
     out = np.asarray(msda_windowed_pallas(
@@ -23,25 +23,48 @@ def test_pallas_kernel_matches_xla(radius, rng):
         kernel_dtype=jnp.float32, interpret=True,
     ))
     ref = np.asarray(ms_deform_attn_windowed(
-        jnp.asarray(value[None]), jnp.asarray(off[None]), jnp.asarray(wgt[None]), radius
-    )).reshape(c, h, w, m * d)
+        jnp.asarray(value), jnp.asarray(off), jnp.asarray(wgt), radius
+    )).reshape(b, c, h, w, m * d)
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
 def test_pallas_kernel_nondivisible_width(rng):
     """W=20 is not 8-divisible — exercises the width-padding path."""
-    l, h, w, m, d, p, c = 2, 4, 20, 8, 16, 2, 2
-    value = rng.standard_normal((l, h, w, m, d)).astype(np.float32)
-    off = rng.uniform(-1.5, 1.5, (c, h, w, m, l, p, 2)).astype(np.float32)
-    wgt = np.full((c, h, w, m, l, p), 1.0 / (l * p), np.float32)
+    b, l, h, w, m, d, p, c = 1, 2, 4, 20, 8, 16, 2, 2
+    value = rng.standard_normal((b, l, h, w, m, d)).astype(np.float32)
+    off = rng.uniform(-1.5, 1.5, (b, c, h, w, m, l, p, 2)).astype(np.float32)
+    wgt = np.full((b, c, h, w, m, l, p), 1.0 / (l * p), np.float32)
     out = np.asarray(msda_windowed_pallas(
         jnp.asarray(value), jnp.asarray(off), jnp.asarray(wgt), 2,
         kernel_dtype=jnp.float32, interpret=True,
     ))
     ref = np.asarray(ms_deform_attn_windowed(
-        jnp.asarray(value[None]), jnp.asarray(off[None]), jnp.asarray(wgt[None]), 2
-    )).reshape(c, h, w, m * d)
+        jnp.asarray(value), jnp.asarray(off), jnp.asarray(wgt), 2
+    )).reshape(b, c, h, w, m * d)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pallas_bwd_matches_xla_vjp(rng):
+    """Batched backward kernel vs jax.vjp of the XLA windowed formulation."""
+    import jax
+
+    from mvdetr_tpu.ops.pallas.msda_kernel_bwd import msda_windowed_pallas_bwd
+
+    b, l, h, w, m, d, p, c = 2, 2, 6, 16, 8, 16, 2, 2
+    radius = 2
+    value = jnp.asarray(rng.standard_normal((b, l, h, w, m, d)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-1.5, 1.5, (b, c, h, w, m, l, p, 2)), jnp.float32)
+    wgt = jnp.asarray(rng.uniform(0, 1, (b, c, h, w, m, l, p)), jnp.float32)
+    wgt = wgt / wgt.sum(axis=(-1, -2), keepdims=True)
+    g = jnp.asarray(rng.standard_normal((b, c, h, w, m * d)), jnp.float32)
+
+    gv, go, gw = msda_windowed_pallas_bwd(value, off, wgt, g, radius,
+                                          kernel_dtype=jnp.float32, interpret=True)
+    _, vjp = jax.vjp(lambda v, o, wt: ms_deform_attn_windowed(v, o, wt, radius), value, off, wgt)
+    rv, ro, rw = vjp(g.reshape(b, c * h * w, m * d))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(ro), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=3e-5)
 
 
 def test_dispatch_falls_back_on_small_channels(rng):

@@ -91,4 +91,4 @@ def test_model_auto_selects_windowed():
     assert wf._resolve_mode(8, 16) == "windowed"
     ref8 = np.tile(rig.reference_points(2, 2, 8), (2, 1, 1, 1))
     wf8 = build_world_feat("deform_trans", 2, (16, 32), base_dim=32, reference_points=ref8, n_points=8)
-    assert wf8._resolve_mode(8, 16) == "gather"
+    assert wf8._resolve_mode(8, 16) == "warped"  # 8-point shadow -> shadow-warp fast path

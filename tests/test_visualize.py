@@ -63,3 +63,43 @@ def test_multihost_single_process():
     batch["imgs_gt"]["heatmap"] = np.zeros((2, 4, 4, 4, 1), np.float32)
     g = global_batch_from_local(batch, mesh)
     assert g["imgs"].shape == (2, 4, 8, 8, 3)
+
+
+def test_capture_attention_and_shadow_backprojection():
+    """Shadow-figure parity (`deform_visualize.py:44-139`): the model exposes
+    sampling locations + attention weights per encoder layer, and one query's
+    taps back-project into every camera."""
+    import jax.numpy as jnp
+
+    from mvdetr_tpu.data import FrameDataset, SyntheticScene
+    from mvdetr_tpu.geometry import make_synthetic_rig
+    from mvdetr_tpu.models import MVDeTr
+    from mvdetr_tpu.train import create_train_state
+    from mvdetr_tpu.utils.visualize import capture_attention, shadow_backprojected
+
+    rig = make_synthetic_rig(num_cam=3, img_shape=(96, 160), worldgrid_shape=(48, 96))
+    scene = SyntheticScene(rig, num_frame=3, num_person=3, seed=0)
+    ds = FrameDataset(scene, train=True, world_reduce=2, img_reduce=12, top_k=8)
+    batch = next(ds.batches(batch_size=1))
+    model = MVDeTr.from_rig(rig, world_reduce=2, img_reduce=12,
+                            world_feat_arch="deform_trans", n_points=8, bottleneck_dim=32)
+    state = create_train_state(model, batch, total_steps=4)
+
+    _, layers = capture_attention(state, batch)
+    assert len(layers) == 3  # one per encoder layer
+    n = rig.num_cam
+    hs, ws = (v // 2 for v in ds.Rworld_shape)
+    q = n * hs * ws
+    for layer in layers:
+        assert layer["sampling_locations"].shape == (1, q, 8, n, 8, 2)
+        assert layer["attention_weights"].shape == (1, q, 8, n, 8)
+        np.testing.assert_allclose(layer["attention_weights"].sum((-1, -2)), 1.0, atol=1e-4)
+
+    bev, cams = shadow_backprojected(rig, layers[0]["sampling_locations"][0],
+                                     layers[0]["attention_weights"][0],
+                                     query_index=q // 2, world_reduce=2, downsample=2)
+    assert set(cams) == set(range(n))
+    for cam in cams:
+        pts, wts = cams[cam]
+        assert pts.shape == (8 * 8, 2) and wts.shape == (8 * 8,)
+        assert np.isfinite(pts).all()
