@@ -1,0 +1,57 @@
+"""BEV-row-sharded windowed deformable attention — the long-context story.
+
+SURVEY §2.8: for ground grids too large for one chip, shard the BEV rows
+(the query/value H axis) over a mesh axis and exchange only the ±radius
+halo rows between neighboring shards. Deformable attention's windowed
+sparsity makes the halo tiny (radius=4 rows of [L, W, M*D] ≈ 1.6 MB at
+Wildtrack scale vs a 9.7 MB full all-gather) and the exchange is one
+bidirectional `ppermute` riding ICI.
+
+Built with `shard_map` so the collective is explicit; edge shards receive
+zero halos (ppermute leaves non-permuted targets zero), which matches the
+unsharded kernel's zero padding exactly — the equivalence test asserts
+bitwise-level agreement with the single-device path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mvdetr_tpu.ops.msda_windowed import ms_deform_attn_windowed
+
+
+def bev_row_sharded_windowed_attention(
+    value: jnp.ndarray,  # [B, L, H, W, M, D]
+    offsets: jnp.ndarray,  # [B, C, H, W, M, L, P, 2]
+    weights: jnp.ndarray,  # [B, C, H, W, M, L, P]
+    mesh,
+    radius: int = 4,
+    axis: str = "view",
+) -> jnp.ndarray:
+    """Windowed attention with the BEV H axis sharded over ``mesh[axis]``.
+
+    Requires ``H % n_shards == 0`` and ``H // n_shards >= radius``. Returns
+    ``[B, C, H, W, M*D]`` sharded on the H axis.
+    """
+    n = int(mesh.shape[axis])
+    h = value.shape[2]
+    assert h % n == 0 and h // n >= radius, (h, n, radius)
+
+    fwd = [(j, j + 1) for j in range(n - 1)]  # shard j sends to j+1 (halo from above)
+    bwd = [(j + 1, j) for j in range(n - 1)]  # shard j+1 sends to j (halo from below)
+
+    def local(v, o, w):
+        # v: [B, L, H_loc, W, M, D] — fetch neighbor halo rows over ICI
+        top = jax.lax.ppermute(v[:, :, -radius:], axis, fwd)  # rows above my block
+        bot = jax.lax.ppermute(v[:, :, :radius], axis, bwd)  # rows below my block
+        vh = jnp.concatenate([top, v, bot], axis=2)
+        return ms_deform_attn_windowed(vh, o, w, radius=radius, row_halo=True, flatten=False)
+
+    vspec = P(None, None, axis)  # H is axis 2 on all three inputs and the output
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(vspec, vspec, vspec), out_specs=vspec, check_vma=False,
+    )(value, offsets, weights)

@@ -50,11 +50,18 @@ def ms_deform_attn_windowed(
     offsets: jnp.ndarray,  # [B, C, H, W, M, L, P, 2] raw offsets in cells (x, y)
     weights: jnp.ndarray,  # [B, C, H, W, M, L, P] softmaxed over (L, P)
     radius: int = 4,
+    row_halo: bool = False,
+    flatten: bool = True,
 ) -> jnp.ndarray:
     """Returns ``[B, C*H*W, M*D]`` — same contract as the gather path for
     identity reference points, with offsets clamped to ``(-radius, radius)``.
 
     Queries are the C aligned copies of the BEV grid (C == L in MVDeTr).
+
+    ``row_halo``: the value rows already carry a ±radius halo (H + 2*radius
+    rows for H query rows) — used by the BEV-row-sharded path, where the halo
+    comes from neighbor shards instead of zero padding. ``flatten=False``
+    returns ``[B, C, H, W, M*D]`` (sharding-friendly).
 
     Layout note: the channel axis stays fused as M*D (=128 for the flagship)
     so every tensor tiles cleanly onto (8, 128) TPU registers — splitting
@@ -65,11 +72,16 @@ def ms_deform_attn_windowed(
     """
     import jax
 
-    b, l, h, w, m, d = value.shape
-    c = offsets.shape[1]
+    b, l, hv, w, m, d = value.shape
+    c, h = offsets.shape[1], offsets.shape[2]
     r = radius
 
-    vpad = jnp.pad(value.reshape(b, l, h, w, m * d), ((0, 0), (0, 0), (r, r), (r, r), (0, 0)))
+    if row_halo:
+        assert hv == h + 2 * r, f"row_halo expects H+2R={h + 2 * r} value rows, got {hv}"
+        vpad = jnp.pad(value.reshape(b, l, hv, w, m * d), ((0, 0), (0, 0), (0, 0), (r, r), (0, 0)))
+    else:
+        assert hv == h
+        vpad = jnp.pad(value.reshape(b, l, h, w, m * d), ((0, 0), (0, 0), (r, r), (r, r), (0, 0)))
     # clamp to exactly ±r: position r decomposes as hat(0) at shift r with a
     # zero-weight corner at r+1, so the radial init's outermost ring (4 cells,
     # `models/deformable.py:32-40`) is representable without clipping
@@ -95,7 +107,7 @@ def ms_deform_attn_windowed(
 
     out = jnp.zeros((b, c, h, w, m * d), dtype=jnp.float32)
     out, _ = jax.lax.scan(body, out, shifts)
-    return out.reshape(b, c * h * w, m * d)
+    return out.reshape(b, c * h * w, m * d) if flatten else out
 
 
 # ------------------------------------------------------------------ dispatch

@@ -66,3 +66,25 @@ def test_data_only_mesh(setup):
     sb = shard_batch(batch, mesh)
     new_state, aux = sharded_step(st, sb, jax.random.PRNGKey(0))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_bev_row_sharded_windowed_attention_matches_unsharded():
+    """BEV-tile halo sharding (SURVEY §2.8 long-context story): rows sharded
+    over `view`, ±radius halo via ppermute — bitwise equal to one device."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mvdetr_tpu.ops.msda_sharded import bev_row_sharded_windowed_attention
+    from mvdetr_tpu.ops.msda_windowed import ms_deform_attn_windowed
+
+    rng = np.random.default_rng(0)
+    b, l, h, w, m, d, p, c, r = 1, 3, 16, 20, 2, 4, 3, 3, 3
+    value = jnp.asarray(rng.standard_normal((b, l, h, w, m, d)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-r, r, (b, c, h, w, m, l, p, 2)), jnp.float32)
+    wgt = jnp.asarray(rng.uniform(0, 1, (b, c, h, w, m, l, p)), jnp.float32)
+    wgt = wgt / wgt.sum(axis=(-1, -2), keepdims=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4), ("data", "view"))
+    out_sh = bev_row_sharded_windowed_attention(value, off, wgt, mesh, radius=r)
+    out_ref = ms_deform_attn_windowed(value, off, wgt, radius=r, flatten=False)
+    np.testing.assert_array_equal(np.asarray(out_sh), np.asarray(out_ref))

@@ -158,3 +158,11 @@ def test_gaussian_smoothed_mse_runs(rng):
     target = jnp.zeros((1, 32, 48, 1)).at[0, 16, 24, 0].set(1.0)
     loss = gaussian_smoothed_mse_loss(out, target, kernel_size=8)
     assert float(loss) > 0 and np.isfinite(float(loss))
+
+
+def test_check_determinism(tiny_setup):
+    """`--deterministic` contract (SURVEY §5): the train step is bitwise
+    reproducible from identical state/batch/rng."""
+    _, train_set, test_set, _, state = tiny_setup
+    trainer = Trainer(_fresh(state), train_set, test_set, logger=lambda *a: None)
+    trainer.check_determinism(batch_size=2)  # asserts internally
