@@ -45,9 +45,12 @@ def main():
         cell_meters=0.025, indexing="ij", worldcoord_unit=0.01, origin_offset=(-300.0, -900.0),
         camera_height_m=6.0, camera_margin_m=4.0, name="BenchWildtrack",
     )
-    scene = SyntheticScene(rig, num_frame=4, num_person=20, seed=0)
+    # batch 2 is the measured single-chip throughput sweet spot (BENCH_NOTES.md:
+    # 3.35 fps @ b=1, 3.99 @ b=2, 3.72 @ b=4 — b=4 regresses on HBM pressure)
+    batch_size = 2
+    scene = SyntheticScene(rig, num_frame=2 * batch_size, num_person=20, seed=0)
     ds = FrameDataset(scene, train=True, world_reduce=4, img_reduce=12, top_k=100)
-    batch = next(ds.batches(batch_size=1))
+    batch = next(ds.batches(batch_size=batch_size))
 
     import jax.numpy as jnp
 
@@ -77,11 +80,11 @@ def main():
     float(aux["loss"])
     dt = (time.time() - t0) / iters
 
-    fps = 1.0 / dt
+    fps = batch_size / dt
     print(json.dumps({
         "metric": "train_framesets_per_s_per_chip",
         "value": round(fps, 3),
-        "unit": "frame-sets/s (7 cams, 720x1280, deform_trans, batch 1)",
+        "unit": f"frame-sets/s (7 cams, 720x1280, deform_trans, batch {batch_size})",
         "vs_baseline": round(fps / BASELINE_TRAIN_FPS, 3),
     }))
 

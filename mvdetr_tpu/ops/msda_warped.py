@@ -82,4 +82,23 @@ def ms_deform_attn_warped(
     warped = shadow_warp_stack(value, ref_points)  # [B, L*P, H, W, M, D]
     off = offsets.reshape(b, c, h, w, m, l * p, 1, 2)
     wgt = weights.reshape(b, c, h, w, m, l * p, 1)
-    return windowed_attention(warped, off, wgt, radius=radius, use_pallas=use_pallas)
+    # Windowed attention is linear over levels, and the weights are already
+    # jointly softmaxed — so the L*P pseudo-level stack (too large for one
+    # VMEM-resident value tile) splits into <=MAX_L-level chunks that each
+    # ride the Pallas kernel, summed. One value-tile DMA per chunk; offsets
+    # are re-read per chunk (they are 2*P/(L*P) the value volume).
+    max_l = 8
+    lp = l * p
+    if lp <= max_l:
+        return windowed_attention(warped, off, wgt, radius=radius, use_pallas=use_pallas)
+    n_chunks = -(-lp // max_l)
+    chunk = -(-lp // n_chunks)  # balanced chunk size
+    out = None
+    for g0 in range(0, lp, chunk):
+        g1 = min(g0 + chunk, lp)
+        part = windowed_attention(
+            warped[:, g0:g1], off[:, :, :, :, :, g0:g1], wgt[:, :, :, :, :, g0:g1],
+            radius=radius, use_pallas=use_pallas,
+        )
+        out = part if out is None else out + part
+    return out

@@ -307,3 +307,42 @@ class Trainer:
         ax.set_title("cam1 foot heatmap")
         fig.savefig(os.path.join(out_dir, "cam1_foot.jpg"))
         plt.close(fig)
+        self._dump_shadow_figure(batch, out_dir, plt)
+
+    def _dump_shadow_figure(self, batch, out_dir: str, plt) -> None:
+        """Per-camera attended-point scatter for the strongest BEV query —
+        the paper's shadow figure (`deform_visualize.py:44-139` parity)."""
+        import os
+
+        from mvdetr_tpu.utils.visualize import capture_attention, shadow_backprojected
+
+        try:
+            outputs, layers = capture_attention(self.state, batch)
+        except Exception:
+            return  # model without deformable attention (conv fusion etc.)
+        if not layers:
+            return
+        (world_heatmap, _), _ = outputs
+        rig = self.train_set.rig
+        hm = jax.nn.sigmoid(world_heatmap)[0, :, :, 0]
+        hs2, ws2 = (v // 2 for v in self.train_set.Rworld_shape)
+        # strongest BEV cell, snapped to the (stride-2) query grid
+        y, x = jnp.unravel_index(jnp.argmax(hm), hm.shape)
+        qy, qx = min(int(y) // 2, hs2 - 1), min(int(x) // 2, ws2 - 1)
+        q = qy * ws2 + qx  # first camera copy's query block
+        locs = layers[-1]["sampling_locations"][0]
+        wgts = layers[-1]["attention_weights"][0]
+        bev, _ = shadow_backprojected(rig, locs, wgts, q,
+                                      world_reduce=self.train_set.world_reduce, downsample=2)
+        fig, ax = plt.subplots(figsize=(10, 4))
+        ax.imshow(np.asarray(hm), cmap="gray")
+        colors = plt.cm.tab10(np.linspace(0, 1, len(bev)))
+        for cam, (pts, wts) in bev.items():
+            sel = wts > wts.max() * 0.1 if len(wts) else slice(None)
+            ax.scatter(pts[sel, 0] * 2, pts[sel, 1] * 2, s=40 * wts[sel] / (wts.max() + 1e-8),
+                       color=colors[cam], label=f"cam{cam + 1}", alpha=0.7)
+        ax.scatter([qx * 2], [qy * 2], marker="x", color="red", s=80)
+        ax.legend(fontsize=6)
+        ax.set_title("shadow attention (last layer, strongest query)")
+        fig.savefig(os.path.join(out_dir, "shadow_points.jpg"))
+        plt.close(fig)
