@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_points", type=int, default=4, choices=[4, 8],
                         help="deformable points per (head, level); 8 = shadow reference maps")
     parser.add_argument("--attn_radius", type=int, default=4)
+    parser.add_argument("--remat_backbone", type=str2bool, default=False,
+                        help="rematerialize backbone blocks on backward (HBM for FLOPs; "
+                             "enables larger per-chip batches)")
     parser.add_argument("--backbone_ckpt", type=str, default=None,
                         help="torchvision resnet18 .pth/.npz for ImageNet init")
     parser.add_argument("--data_root", type=str, default=None)
@@ -170,6 +173,7 @@ def main(args=None):
         outfeat_dim=args.outfeat_dim, dropout=args.dropout,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         attn_mode=args.attn_mode, attn_radius=args.attn_radius, n_points=args.n_points,
+        remat_backbone=args.remat_backbone,
         mesh=mesh,
     )
 

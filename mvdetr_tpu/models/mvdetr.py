@@ -46,6 +46,7 @@ class MVDeTr(nn.Module):
     compute_dtype: object = None  # e.g. jnp.bfloat16; params and losses stay f32
     attn_mode: str = "auto"  # deformable sampling: 'auto' | 'gather' | 'windowed' | 'warped'
     attn_radius: int = 4
+    remat_backbone: bool = False  # rematerialize backbone blocks (HBM for FLOPs)
     # Optional jax.sharding.Mesh: states the SPMD strategy explicitly — the
     # per-view stack is constrained to P(('data','view')) so backbone + warp
     # stay shard-local, and the warped BEV stack to P('data','view') so the
@@ -67,6 +68,7 @@ class MVDeTr(nn.Module):
         compute_dtype=None,
         attn_mode: str = "auto",
         attn_radius: int = 4,
+        remat_backbone: bool = False,
         mesh=None,
     ) -> "MVDeTr":
         """Build from a :class:`CameraRig`, deriving projection matrices and
@@ -90,6 +92,7 @@ class MVDeTr(nn.Module):
             compute_dtype=compute_dtype,
             attn_mode=attn_mode,
             attn_radius=attn_radius,
+            remat_backbone=remat_backbone,
             mesh=mesh,
         )
 
@@ -108,7 +111,7 @@ class MVDeTr(nn.Module):
         if self.arch == "resnet18":
             feat = ResNetFeatures(
                 stage_sizes=(2, 2, 2, 2), replace_stride_with_dilation=(False, True, True),
-                dtype=self.compute_dtype, name="base"
+                dtype=self.compute_dtype, remat=self.remat_backbone, name="base"
             )(x, train)
         elif self.arch == "vgg11":
             feat = VGG11Features(name="base")(x, train)

@@ -74,6 +74,12 @@ class ResNetFeatures(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     replace_stride_with_dilation: Sequence[bool] = (False, True, True)
     dtype: object = None
+    # Rematerialize each residual block on the backward pass instead of
+    # keeping its activations in HBM. The trunk's activations dominate the
+    # step's live memory (28 views x 360x640x64 at the stem), so this is the
+    # lever that lets larger per-chip batches scale (BENCH_NOTES.md batch-4
+    # regression).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -86,6 +92,8 @@ class ResNetFeatures(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat else BasicBlock
+
         dilation = 1
         features = 64
         in_features = 64
@@ -97,7 +105,7 @@ class ResNetFeatures(nn.Module):
                 stride = 1
             for block in range(blocks):
                 first = block == 0
-                x = BasicBlock(
+                x = block_cls(
                     features=features,
                     stride=stride if first else 1,
                     dilation_conv1=previous_dilation if first else dilation,

@@ -97,3 +97,32 @@ def test_backbone_params_under_base(tiny_rig):
     variables = model.init(jax.random.PRNGKey(0), imgs, aff, train=False)
     assert "base" in variables["params"]
     assert "world_feat" in variables["params"]
+
+
+def test_backbone_remat_is_exact(tiny_rig):
+    """`remat_backbone` must be a pure memory/time trade: same params -> same
+    loss and same gradients (rematerialization recomputes identical ops)."""
+    kw = dict(world_reduce=2, img_reduce=12, world_feat_arch="conv")
+    model = MVDeTr.from_rig(tiny_rig, **kw)
+    model_r = MVDeTr.from_rig(tiny_rig, remat_backbone=True, **kw)
+    b, n = 1, tiny_rig.num_cam
+    hi = tiny_rig.img_shape[0] * 8 // 12
+    wi = tiny_rig.img_shape[1] * 8 // 12
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (b, n, hi, wi, 3))
+    aff = jnp.broadcast_to(jnp.eye(3), (b, n, 3, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs, aff, train=False)
+
+    def loss(m):
+        def f(params):
+            (w_hm, _), _ = m.apply(
+                {**variables, "params": params}, imgs, aff, train=True,
+                rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(w_hm ** 2)
+
+        return jax.value_and_grad(f)(variables["params"])
+
+    l0, g0 = loss(model)
+    l1, g1 = loss(model_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-6), g0, g1)
