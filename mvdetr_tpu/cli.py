@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--weight_decay", type=float, default=1e-4)
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--visualize", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="dump a jax.profiler device trace of epoch-1 steps 2-4 to logdir/trace")
     parser.add_argument("--seed", type=int, default=2021)
     parser.add_argument("--deterministic", type=str2bool, default=False)
     parser.add_argument("--augmentation", type=str2bool, default=True)
@@ -199,7 +201,8 @@ def main(args=None):
     )
 
     trainer = Trainer(state, train_set, test_set, cls_thres=args.cls_thres, alpha=args.alpha,
-                      use_mse=args.use_mse, mesh=mesh, num_workers=args.num_workers)
+                      use_mse=args.use_mse, mesh=mesh, num_workers=args.num_workers,
+                      profile_dir=os.path.join(logdir, "trace") if args.profile else None)
     res_fpath = os.path.join(logdir, "test.txt")
     ckpt_dir = os.path.join(logdir, "checkpoints")
     vis_dir = os.path.join(logdir, "visualize") if args.visualize else None

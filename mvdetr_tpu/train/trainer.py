@@ -136,6 +136,7 @@ class Trainer:
         mesh=None,
         num_workers: int = 0,
         prefetch: int = 2,
+        profile_dir: Optional[str] = None,
     ):
         self.state = state
         self.train_set = dataset_train
@@ -148,6 +149,7 @@ class Trainer:
         self.mesh = mesh
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.profile_dir = profile_dir
         self._rng = jax.random.PRNGKey(0)
         self._sharded_train = None
         self._sharded_eval = None
@@ -203,14 +205,30 @@ class Trainer:
     def train_epoch(self, epoch: int, batch_size: int = 1, log_interval: int = 100) -> float:
         t0 = time.time()
         losses_dev, count = [], 0  # device scalars; fetched only at log points
+        # jax.profiler device trace of steady-state steps 2-4 of epoch 1
+        # (step 1 is the compile; SURVEY §5 tracing — the reference only has
+        # wall-clock accumulators, `trainer.py:40-43,68-82`)
+        profiling = False
         for batch in self._batches(batch_size):
             self._rng, step_rng = jax.random.split(self._rng)
+            if self.profile_dir is not None and epoch == 1 and count == 1 and not profiling:
+                float(losses_dev[-1])  # compile barrier — trace only steady-state work
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
             self.state, aux = self._step(batch, step_rng)
             losses_dev.append(aux["loss"])
             count += 1
+            if profiling and count >= 4:
+                float(aux["loss"])  # completion barrier so the trace holds full steps
+                jax.profiler.stop_trace()
+                profiling = False
+                self.log(f"profiler trace written to {self.profile_dir}")
             if count % log_interval == 0:
                 total = float(jnp.sum(jnp.stack(losses_dev)))
                 self.log(f"Train epoch {epoch} batch {count}: loss {total / count:.6f}, t {time.time() - t0:.1f}s")
+        if profiling:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            self.log(f"profiler trace written to {self.profile_dir}")
         total = float(jnp.sum(jnp.stack(losses_dev))) if losses_dev else 0.0
         self.log(f"Train epoch {epoch} done: loss {total / max(count, 1):.6f}, t {time.time() - t0:.1f}s")
         return total / max(count, 1)

@@ -95,6 +95,12 @@ def main():
     f_bbg = jax.jit(lambda v, xx: jax.grad(bb_loss)(v, xx))
     t_bbg = timeit(f_bbg, base_params, x)
 
+    # ---- inference (serving path): eval_step = fwd + dense decode + top-K NMS
+    from mvdetr_tpu.train.trainer import eval_step
+
+    f_eval = jax.jit(lambda s, b: eval_step.__wrapped__(s, b, world_reduce=4, num_candidates=512))
+    t_eval = timeit(f_eval, state, batch)
+
     # ---- FLOP estimate for MFU (cost analysis of the jitted step)
     try:
         comp = step.lower(state, batch, rng).compile()
@@ -111,6 +117,7 @@ def main():
     print(f"fwd+bwd (grad)  : {t_grad:8.1f} ms   (optimizer ~ {t_step - t_grad:.1f} ms)")
     print(f"backbone fwd    : {t_bb:8.1f} ms")
     print(f"backbone fwd+bwd: {t_bbg:8.1f} ms")
+    print(f"eval step (infer): {t_eval:7.1f} ms   ({args.batch / (t_eval / 1000):.2f} frame-sets/s/chip inference)")
     print(f"step flops      : {flops:.3e}   MFU ~ {mfu:.1f}% of v5e bf16 peak")
 
     if args.trace_dir:

@@ -6,7 +6,11 @@ tests/test_convergence.py can be raised with evidence.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -17,7 +21,7 @@ from mvdetr_tpu.train import Trainer, create_train_state
 
 
 def run(indexing, epochs, lr, num_frame, num_person, seed, cls_thres, kernel,
-        batch_size=2, base_lr_ratio=1.0, augmentation=False):
+        batch_size=2, base_lr_ratio=1.0, augmentation=False, attn_radius=4):
     if indexing == "ij":
         rig = make_wildtrack_like_rig(num_cam=4, img_shape=(96, 160), worldgrid_shape=(48, 96))
     else:
@@ -28,7 +32,7 @@ def run(indexing, epochs, lr, num_frame, num_person, seed, cls_thres, kernel,
     test_set = FrameDataset(scene, train=False, **kw)
 
     model = MVDeTr.from_rig(rig, world_reduce=2, img_reduce=12, world_feat_arch="deform_trans",
-                            bottleneck_dim=64)
+                            bottleneck_dim=64, attn_radius=attn_radius)
     batch = next(train_set.batches(batch_size=batch_size))
     steps = (len(train_set) // batch_size) * epochs
     state = create_train_state(model, batch, lr=lr, total_steps=steps, base_lr_ratio=base_lr_ratio)
@@ -54,6 +58,7 @@ if __name__ == "__main__":
     p.add_argument("--cls_thres", type=float, default=0.4)
     p.add_argument("--kernel", type=float, default=4.0)
     p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--attn_radius", type=int, default=4)
     a = p.parse_args()
     run(a.indexing, a.epochs, a.lr, a.num_frame, a.num_person, a.seed, a.cls_thres, a.kernel,
-        batch_size=a.batch_size)
+        batch_size=a.batch_size, attn_radius=a.attn_radius)

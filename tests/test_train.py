@@ -166,3 +166,16 @@ def test_check_determinism(tiny_setup):
     _, train_set, test_set, _, state = tiny_setup
     trainer = Trainer(_fresh(state), train_set, test_set, logger=lambda *a: None)
     trainer.check_determinism(batch_size=2)  # asserts internally
+
+
+def test_profile_trace_dump(tiny_setup, tmp_path):
+    """--profile analogue: epoch-1 steps 2-4 produce a jax.profiler trace
+    directory (SURVEY §5 tracing; the reference has wall-clock meters only)."""
+    _, train_set, test_set, _, state = tiny_setup
+    trace_dir = tmp_path / "trace"
+    trainer = Trainer(_fresh(state), train_set, test_set, logger=lambda *a: None,
+                      profile_dir=str(trace_dir))
+    trainer.train_epoch(1, batch_size=2)
+    dumped = list(trace_dir.rglob("*.pb")) + list(trace_dir.rglob("*.json.gz")) \
+        + list(trace_dir.rglob("*.xplane.pb"))
+    assert trace_dir.exists() and dumped, f"no trace files under {trace_dir}"
