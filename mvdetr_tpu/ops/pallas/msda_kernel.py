@@ -80,12 +80,17 @@ def _kernel(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref, vtile, sem,
     oy = oy_ref[0, 0].reshape(t, oy_ref.shape[-1])
     wgt = w_ref[0, 0].reshape(t, w_ref.shape[-1])
 
+    # hatx depends only on the x-shift: compute the (2R+1) columns once
+    # instead of once per (dy, dx) pair — the kernel is VPU-bound and this
+    # removes most of the per-shift [T, PLM] elementwise work.
+    hatxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - float(dxi - radius))) for dxi in range(win)]
+
     def body_dy(dyi, acc):
         haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - (dyi - radius).astype(jnp.float32)))
+        wy = wgt * haty  # [T, PLM], hoisted out of the x-unroll
         vslab = vtile[pl.ds(dyi, th), :, :]  # [TH, W+2R(+pad), L*K]
         for dxi in range(win):
-            hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - float(dxi - radius)))
-            cw3 = wgt * hatx * haty  # [T, PLM]
+            cw3 = wy * hatxs[dxi]  # [T, PLM]
             cwlm = jnp.dot(cw3, s_ref[...], preferred_element_type=jnp.float32)  # [T, LM]
             cwlk = jnp.dot(cwlm, e_ref[...], preferred_element_type=jnp.float32)  # [T, L*K]
             vwin = vslab[:, dxi : dxi + tw, :].reshape(t, lk)

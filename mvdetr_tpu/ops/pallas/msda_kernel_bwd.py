@@ -56,20 +56,25 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
     g = g_ref[0, 0].reshape(t, k).astype(jnp.float32)
     gtile = jnp.concatenate([g] * num_l, axis=1)  # [T, L*K]
 
+    # x-shift-only factors, computed once for the (2R+1) columns instead of
+    # once per (dy, dx) pair (the kernel is VPU-bound; see fwd kernel note)
+    hatxs, dhatxs = [], []
+    for dxi in range(win):
+        ax = jnp.abs(ox - float(dxi - radius))
+        hatxs.append(jnp.maximum(0.0, 1.0 - ax))
+        dhatxs.append(jnp.where(ax < 1.0, -jnp.sign(ox - float(dxi - radius)), 0.0))
+
     def body_dy(dyi, carry):
         gox, goy, gw = carry
         dyf = (dyi - radius).astype(jnp.float32)
         ay = jnp.abs(oy - dyf)
         haty = jnp.maximum(0.0, 1.0 - ay)
         dhaty = jnp.where(ay < 1.0, -jnp.sign(oy - dyf), 0.0)
+        wy = wgt * haty  # hoisted per-dy products
+        wdy = wgt * dhaty
         vslab = vtile[pl.ds(dyi, th), :, :]
         for dxi in range(win):
-            dxf = float(dxi - radius)
-            ax = jnp.abs(ox - dxf)
-            hatx = jnp.maximum(0.0, 1.0 - ax)
-            dhatx = jnp.where(ax < 1.0, -jnp.sign(ox - dxf), 0.0)
-
-            cw3 = wgt * hatx * haty  # [T, PLM]
+            cw3 = wy * hatxs[dxi]  # [T, PLM]
             cwlk = jnp.dot(jnp.dot(cw3, s_ref[...], preferred_element_type=jnp.float32),
                            e_ref[...], preferred_element_type=jnp.float32)  # [T, LK]
             vwin = vslab[:, dxi : dxi + tw, :].reshape(t, lk).astype(jnp.float32)
@@ -83,9 +88,10 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
             dlk = vwin * gtile  # [T, LK]
             dcw3 = jnp.dot(jnp.dot(dlk, et_ref[...], preferred_element_type=jnp.float32),
                            st_ref[...], preferred_element_type=jnp.float32)  # [T, PLM]
-            gw = gw + hatx * haty * dcw3
-            gox = gox + wgt * haty * dhatx * dcw3
-            goy = goy + wgt * hatx * dhaty * dcw3
+            tx = hatxs[dxi] * dcw3  # shared factor for gw and goy
+            gw = gw + haty * tx
+            gox = gox + wy * (dhatxs[dxi] * dcw3)
+            goy = goy + wdy * tx
         return gox, goy, gw
 
     zeros = jnp.zeros_like(ox)
