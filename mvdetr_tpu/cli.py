@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--img_kernel_size", type=int, default=10)
     # TPU-native additions
     parser.add_argument("--view_shards", type=int, default=1, help="devices along the view mesh axis")
+    parser.add_argument("--bev_shards", type=int, default=1,
+                        help="devices along the BEV-row mesh axis (halo-exchange attention; "
+                             "windowed deform_trans only)")
     parser.add_argument("--coordinator_address", type=str, default=None,
                         help="multi-host: JAX coordinator host:port")
     parser.add_argument("--num_processes", type=int, default=None, help="multi-host: process count")
@@ -77,6 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_points", type=int, default=4, choices=[4, 8],
                         help="deformable points per (head, level); 8 = shadow reference maps")
     parser.add_argument("--attn_radius", type=int, default=4)
+    parser.add_argument("--nms_top_k", type=int, default=512,
+                        help="eval candidate cap before NMS (the trainer warns when it saturates)")
     parser.add_argument("--remat_backbone", type=str2bool, default=False,
                         help="rematerialize backbone blocks on backward (HBM for FLOPs; "
                              "enables larger per-chip batches)")
@@ -157,16 +162,18 @@ def main(args=None):
 
     mesh = None
     n_dev = len(jax.devices())
-    if args.view_shards > 1 or n_dev > 1:
+    if args.view_shards > 1 or args.bev_shards > 1 or n_dev > 1:
         from mvdetr_tpu.parallel import make_mesh
 
         # data axis must divide the batch; view axis must divide the cameras
-        data_size = max(1, min(n_dev // args.view_shards, args.batch_size))
+        per = args.view_shards * args.bev_shards
+        data_size = max(1, min(n_dev // per, args.batch_size))
         while args.batch_size % data_size:
             data_size -= 1
-        usable = data_size * args.view_shards
+        usable = data_size * per
         if usable > 1:
-            mesh = make_mesh(num_view_shards=args.view_shards, devices=jax.devices()[:usable])
+            mesh = make_mesh(num_view_shards=args.view_shards, num_bev_shards=args.bev_shards,
+                             devices=jax.devices()[:usable])
             print(f"mesh: {dict(mesh.shape)}")
 
     model = MVDeTr.from_rig(
@@ -201,7 +208,8 @@ def main(args=None):
     )
 
     trainer = Trainer(state, train_set, test_set, cls_thres=args.cls_thres, alpha=args.alpha,
-                      use_mse=args.use_mse, mesh=mesh, num_workers=args.num_workers,
+                      use_mse=args.use_mse, nms_top_k=args.nms_top_k, mesh=mesh,
+                      num_workers=args.num_workers,
                       profile_dir=os.path.join(logdir, "trace") if args.profile else None)
     res_fpath = os.path.join(logdir, "test.txt")
     ckpt_dir = os.path.join(logdir, "checkpoints")
@@ -226,6 +234,8 @@ def main(args=None):
             _draw_curve(os.path.join(logdir, "learning_curve.jpg"), history)
     else:
         trainer.state = restore_weights(ckpt_dir, trainer.state)
+        if args.profile:
+            print("NOTE: --profile has no effect with --resume (the training loop is skipped)")
     print("Test loaded model...")
     trainer.test(batch_size=args.batch_size, res_fpath=res_fpath, visualize_dir=vis_dir)
     return trainer

@@ -59,6 +59,11 @@ class MSDeformAttn(nn.Module):
       maps, e.g. the 8-point shadow config — shadow-warp the value stack
       once, then windowed sampling on the warped charts
       (`ops/msda_warped.py`). Same alignment requirements as 'windowed'.
+
+    ``mesh``: when it carries a ``bev`` axis of size > 1 (and the mode is
+    'windowed'), the attention runs BEV-row-sharded with a ±radius halo
+    exchange over ICI (`ops/msda_sharded.py`, SURVEY §2.8 long-context
+    scaling) instead of each device holding the full grid.
     """
 
     d_model: int = 128
@@ -68,6 +73,17 @@ class MSDeformAttn(nn.Module):
     dtype: object = None
     mode: str = "gather"
     radius: int = 4
+    mesh: Optional[object] = None
+
+    def _bev_shards(self, h: int) -> int:
+        """BEV-row shard count, or 1 when inapplicable (no mesh / no ``bev``
+        axis / rows not divisible / shards thinner than the halo)."""
+        if self.mesh is None or self.mode != "windowed":
+            return 1
+        n = int(dict(self.mesh.shape).get("bev", 1))
+        if n <= 1 or h % n != 0 or h // n < self.radius:
+            return 1
+        return n
 
     @nn.compact
     def __call__(
@@ -119,7 +135,10 @@ class MSDeformAttn(nn.Module):
                  ref + off_viz / normalizer[None, None, None, :, None, :])
         self.sow("intermediates", "viz_attention_weights", weights)
         if self.mode in ("windowed", "warped"):
-            self.sow("intermediates", "offset_clip_fraction",
+            # own (scalar-only) collection so the train step can request it
+            # without materializing the viz tensors above — logged every
+            # log_interval by the trainer (windowed-clamp health signal)
+            self.sow("diagnostics", "offset_clip_fraction",
                      jnp.mean((jnp.abs(offsets) > float(self.radius)).astype(jnp.float32)))
 
         if self.mode in ("windowed", "warped"):
@@ -130,7 +149,14 @@ class MSDeformAttn(nn.Module):
             off = offsets.reshape(b, c, h_, w_, m, l, p, 2)
             wgt = weights.reshape(b, c, h_, w_, m, l, p)
             if self.mode == "windowed":
-                out = windowed_attention(v, off, wgt, radius=self.radius)
+                if self._bev_shards(h_) > 1:
+                    from mvdetr_tpu.ops.msda_sharded import bev_row_sharded_windowed_attention
+
+                    out = bev_row_sharded_windowed_attention(
+                        v, off, wgt, self.mesh, radius=self.radius, axis="bev"
+                    ).reshape(b, c * h_ * w_, m * d)
+                else:
+                    out = windowed_attention(v, off, wgt, radius=self.radius)
             else:
                 # camera query copies share the reference map (`mvdetr.py:129-130`)
                 ref_map = reference_points[0].reshape(c, h_ * w_, l, p, 2)[0] \
@@ -159,13 +185,14 @@ class DeformableEncoderLayer(nn.Module):
     dtype: object = None
     mode: str = "gather"
     radius: int = 4
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, train: bool = True):
         q = src if pos is None else src + pos
         attn = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
                             dtype=self.dtype, mode=self.mode, radius=self.radius,
-                            name="self_attn")(
+                            mesh=self.mesh, name="self_attn")(
             q, reference_points, src, spatial_shapes
         )
         src = src + nn.Dropout(self.dropout, deterministic=not train)(attn)
@@ -208,6 +235,7 @@ class DeformableEncoder(nn.Module):
     dtype: object = None
     mode: str = "gather"
     radius: int = 4
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, src, spatial_shapes, pos=None, train: bool = True):
@@ -222,6 +250,7 @@ class DeformableEncoder(nn.Module):
         for i in range(self.num_layers):
             out = DeformableEncoderLayer(
                 self.d_model, self.d_ffn, self.dropout, self.n_levels, self.n_heads, self.n_points,
-                dtype=self.dtype, mode=self.mode, radius=self.radius, name=f"layer{i}",
+                dtype=self.dtype, mode=self.mode, radius=self.radius, mesh=self.mesh,
+                name=f"layer{i}",
             )(out, pos, ref, spatial_shapes, train)
         return out

@@ -152,6 +152,7 @@ class MVDeTr(nn.Module):
             dtype=self.compute_dtype,
             attn_mode=self.attn_mode,
             attn_radius=self.attn_radius,
+            mesh=self.mesh,
         )(world_in, train)
 
         world_heatmap = OutputHead(1, self.outfeat_dim, HEATMAP_BIAS_INIT, dtype=self.compute_dtype,

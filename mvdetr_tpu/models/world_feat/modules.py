@@ -125,6 +125,7 @@ class DeformTransWorldFeat(nn.Module):
     dtype: object = None
     attn_mode: str = "auto"  # 'auto' | 'gather' | 'windowed'
     attn_radius: int = 4
+    mesh: Optional[object] = None  # bev-axis row sharding (`ops/msda_sharded.py`)
 
     def _resolve_mode(self, hs: int, ws: int) -> str:
         """'auto' -> 'windowed' when the reference map is the identity grid
@@ -172,6 +173,7 @@ class DeformTransWorldFeat(nn.Module):
             dtype=self.dtype,
             mode=self._resolve_mode(hs, ws),
             radius=self.attn_radius,
+            mesh=self.mesh,
             name="encoder",
         )(tokens, spatial_shapes, pos_lvl, train)
 
@@ -252,7 +254,8 @@ class DeformConvWorldFeat(nn.Module):
 
 def build_world_feat(arch: str, num_cam: int, world_shape, base_dim: int = 128,
                      reference_points: Optional[np.ndarray] = None, n_points: int = 4,
-                     dtype=None, attn_mode: str = "auto", attn_radius: int = 4) -> nn.Module:
+                     dtype=None, attn_mode: str = "auto", attn_radius: int = 4,
+                     mesh=None) -> nn.Module:
     """Variant dispatch, mirroring `models/mvdetr.py:122-134`."""
     world_shape = tuple(int(v) for v in world_shape)
     # hidden_dim tracks base_dim (both default to 128 in the reference zoo) so
@@ -269,7 +272,7 @@ def build_world_feat(arch: str, num_cam: int, world_shape, base_dim: int = 128,
         return DeformTransWorldFeat(
             num_cam, world_shape, base_dim, hidden_dim=base_dim,
             n_points=n_points, reference_points=reference_points, dtype=dtype,
-            attn_mode=attn_mode, attn_radius=attn_radius, name="world_feat"
+            attn_mode=attn_mode, attn_radius=attn_radius, mesh=mesh, name="world_feat"
         )
     if arch == "aio":
         return DeformTransWorldFeatAIO(num_cam, world_shape, base_dim, hidden_dim=base_dim, dtype=dtype,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from mvdetr_tpu.ops.msda_windowed import ms_deform_attn_windowed
+from mvdetr_tpu.ops.msda_windowed import windowed_attention
 
 
 def bev_row_sharded_windowed_attention(
@@ -49,7 +49,8 @@ def bev_row_sharded_windowed_attention(
         top = jax.lax.ppermute(v[:, :, -radius:], axis, fwd)  # rows above my block
         bot = jax.lax.ppermute(v[:, :, :radius], axis, bwd)  # rows below my block
         vh = jnp.concatenate([top, v, bot], axis=2)
-        return ms_deform_attn_windowed(vh, o, w, radius=radius, row_halo=True, flatten=False)
+        # per-shard dispatch: Pallas kernels on TPU, dense XLA elsewhere
+        return windowed_attention(vh, o, w, radius=radius, row_halo=True, flatten=False)
 
     vspec = P(None, None, axis)  # H is axis 2 on all three inputs and the output
     return jax.shard_map(

@@ -111,13 +111,15 @@ def ms_deform_attn_windowed(
 
 
 # ------------------------------------------------------------------ dispatch
-def windowed_attention(value, offsets, weights, radius: int = 4, use_pallas: bool | None = None):
+def windowed_attention(value, offsets, weights, radius: int = 4, use_pallas: bool | None = None,
+                       row_halo: bool = False, flatten: bool = True):
     """Windowed deformable attention with backend dispatch.
 
-    On TPU the forward runs the Pallas kernel
-    (`ops/pallas/msda_kernel.py` — every input read once); the backward uses
-    the dense XLA formulation above (deterministic, no scatter). Off-TPU, the
-    XLA path runs both ways.
+    On TPU both directions run the Pallas kernels
+    (`ops/pallas/msda_kernel.py` / `msda_kernel_bwd.py` — every input read
+    once, deterministic overlap-add backward). Off-TPU, the dense XLA
+    formulation above runs both ways. ``row_halo``/``flatten`` as in
+    :func:`ms_deform_attn_windowed` (the BEV-row-sharded path).
     """
     import os
 
@@ -135,35 +137,37 @@ def windowed_attention(value, offsets, weights, radius: int = 4, use_pallas: boo
             and os.environ.get("MVDETR_NO_PALLAS", "0") != "1"
         )
     if not use_pallas:
-        return ms_deform_attn_windowed(value, offsets, weights, radius)
-    return _pallas_windowed(radius, value, offsets, weights)
+        return ms_deform_attn_windowed(value, offsets, weights, radius,
+                                       row_halo=row_halo, flatten=flatten)
+    return _pallas_windowed(radius, row_halo, flatten, value, offsets, weights)
 
 
 import functools as _functools  # noqa: E402
 import jax as _jax  # noqa: E402
 
 
-@_functools.partial(_jax.custom_vjp, nondiff_argnums=(0,))
-def _pallas_windowed(radius, value, offsets, weights):
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pallas_windowed(radius, row_halo, flatten, value, offsets, weights):
     from mvdetr_tpu.ops.pallas.msda_kernel import msda_windowed_pallas
 
-    out = msda_windowed_pallas(value, offsets, weights, radius)  # [B, C, H, W, K]
+    out = msda_windowed_pallas(value, offsets, weights, radius, row_halo=row_halo)  # [B, C, H, W, K]
     b, c, h, w, k = out.shape
-    return out.reshape(b, c * h * w, k)
+    return out.reshape(b, c * h * w, k) if flatten else out
 
 
-def _pallas_windowed_fwd(radius, value, offsets, weights):
-    return _pallas_windowed(radius, value, offsets, weights), (value, offsets, weights)
+def _pallas_windowed_fwd(radius, row_halo, flatten, value, offsets, weights):
+    return _pallas_windowed(radius, row_halo, flatten, value, offsets, weights), (value, offsets, weights)
 
 
-def _pallas_windowed_bwd(radius, residuals, g):
+def _pallas_windowed_bwd(radius, row_halo, flatten, residuals, g):
     from mvdetr_tpu.ops.pallas.msda_kernel_bwd import msda_windowed_pallas_bwd
 
     value, offsets, weights = residuals
-    b, l, h, w, m, d = value.shape
-    c = offsets.shape[1]
+    b = value.shape[0]
+    m, d = value.shape[-2], value.shape[-1]
+    c, h, w = offsets.shape[1], offsets.shape[2], offsets.shape[3]
     g = g.reshape(b, c, h, w, m * d)
-    return msda_windowed_pallas_bwd(value, offsets, weights, g, radius)
+    return msda_windowed_pallas_bwd(value, offsets, weights, g, radius, row_halo=row_halo)
 
 
 _pallas_windowed.defvjp(_pallas_windowed_fwd, _pallas_windowed_bwd)

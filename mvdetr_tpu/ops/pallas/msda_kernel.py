@@ -56,6 +56,16 @@ def _select_matrices(m: int, l: int, p: int, d: int):
     return s, e
 
 
+def _select_matrix_fused(m: int, l: int, p: int, d: int) -> np.ndarray:
+    """``S @ E`` [PLM, L*M*D] — kept for reference; measured SLOWER than the
+    two-step form (fwd 14.2 -> 19.5 ms, bwd 28 -> 37 ms at flagship scale):
+    the wider K=PLM pass streams 4x the selection-matrix bytes per shift and
+    loses to the skinny-but-cached S/E pair. Do not re-fuse without re-benching
+    (BENCH_NOTES.md round 3)."""
+    s, e = _select_matrices(m, l, p, d)
+    return (s @ e).astype(np.float32)
+
+
 def _kernel(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref, vtile, sem,
             *, radius, th, tw, vwidth, num_l, num_m, num_d):
     bb = pl.program_id(0)
@@ -112,19 +122,27 @@ def _pick_tile(n: int, target: int) -> int:
 
 
 def msda_windowed_pallas(
-    value: jnp.ndarray,  # [B, L, H, W, M, D]
+    value: jnp.ndarray,  # [B, L, H, W, M, D]  (H + 2*radius rows when row_halo)
     offsets: jnp.ndarray,  # [B, C, H, W, M, L, P, 2]
     weights: jnp.ndarray,  # [B, C, H, W, M, L, P]
     radius: int = 4,
     kernel_dtype=jnp.bfloat16,
+    row_halo: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Batched forward. Returns [B, C, H, W, M*D] float32; the batch rides a
     grid axis (one value-tile DMA per (batch, row-block), reused across the C
-    query cameras)."""
+    query cameras).
+
+    ``row_halo``: the value rows already carry a ±radius halo (used by the
+    BEV-row-sharded path, `ops/msda_sharded.py` — halo rows come from
+    neighboring shards over ICI instead of zero padding), so only the width
+    gets padded here.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, l, h, w, m, d = value.shape
+    b, l, hv, w, m, d = value.shape
+    h = hv - 2 * radius if row_halo else hv
     c, p = weights.shape[1], weights.shape[-1]
     k = m * d
     plm = p * l * m
@@ -139,10 +157,11 @@ def msda_windowed_pallas(
     vwidth = tw + 2 * radius
     vwidth += (-vwidth) % 8
 
-    # value: [B, L, H, W, K] -> [B, H, W, L*K] channel-fused, padded with halo
-    vfused = jnp.moveaxis(value.reshape(b, l, h, w, k), 1, 3).reshape(b, h, w, l * k)
+    # value: [B, L, Hv, W, K] -> [B, Hv, W, L*K] channel-fused, padded with halo
+    vfused = jnp.moveaxis(value.reshape(b, l, hv, w, k), 1, 3).reshape(b, hv, w, l * k)
+    ypad = (0, 0) if row_halo else (radius, radius)
     vp = jnp.pad(
-        vfused, ((0, 0), (radius, radius), (radius, vwidth - w - radius), (0, 0))
+        vfused, ((0, 0), ypad, (radius, vwidth - w - radius), (0, 0))
     ).astype(kernel_dtype)
 
     def prep(x):  # [B, C, H, W, M, L, P] -> padded [B, C, H, Wp, PLM], channel order (p, l, m)

@@ -1,16 +1,25 @@
 """Pallas TPU kernel for windowed deformable attention (backward).
 
 Same tiling as the forward (`msda_kernel.py`): query row-blocks x cameras,
-value neighborhood resident in VMEM. Per shift it recomputes the hat/attention
-weights and emits all three cotangents:
+value neighborhood resident in VMEM. Per shift it recomputes the hat weights
+and emits all three cotangents:
 
 - d/d offsets, d/d weights: elementwise hat derivatives against
-  ``VdotG = (value_window * g) @ E^T @ S^T`` (two transposed constant matmuls),
+  ``dcw3 = ((value_window * g) @ E^T) @ S^T`` (two transposed constant
+  matmuls). The x-sums factor through per-dy running accumulators
+  ``Sx = sum_dx hatx*dcw3`` and ``Sdx = sum_dx dhatx*dcw3`` — the three grads
+  are then single per-dy products (``gw += haty*Sx``, ``goy += wdy*Sx``,
+  ``gox += wy*Sdx``), cutting the per-shift VPU work ~30 % vs accumulating
+  each grad inside the x-unroll.
 - d/d value: ``cw * g`` accumulated into a halo'd per-row-block buffer;
   row-blocks overlap by the halo, so each block writes its own padded slab
   and the host overlap-adds them (no cross-block races, fully deterministic —
   the reference resolves the same hazard with CUDA atomicAdd,
   `ms_deform_im2col_cuda.cuh:846-920`).
+
+The offset clip (+ its pass-through mask) runs in-kernel on the raw offsets,
+and the three query-side grads leave as ONE packed [..., 3*PLM] tensor — the
+XLA pre/epilogue does one transpose pass instead of three plus a masking pass.
 
 The camera grid axis is innermost with a constant output index for the value
 cotangent, so the slab stays VMEM-resident and accumulates across cameras.
@@ -29,7 +38,7 @@ from mvdetr_tpu.ops.pallas.msda_kernel import _pick_tile, _select_matrices
 
 
 def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, value_ref,
-                gox_ref, goy_ref, gw_ref, gv_ref, vtile, sem,
+                go_ref, gv_ref, vtile, sem,
                 *, radius, th, tw, vwidth, num_l, num_m, num_d):
     bb = pl.program_id(0)
     i = pl.program_id(1)
@@ -38,6 +47,7 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
     lk = num_l * k
     t = th * tw
     win = 2 * radius + 1
+    lim = float(radius)
 
     @pl.when(c == 0)
     def _():
@@ -50,11 +60,18 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
         dma.wait()
         gv_ref[...] = jnp.zeros(gv_ref.shape, gv_ref.dtype)
 
-    ox = ox_ref[0, 0].reshape(t, ox_ref.shape[-1])  # [T, PLM]
-    oy = oy_ref[0, 0].reshape(t, oy_ref.shape[-1])
+    ox_raw = ox_ref[0, 0].reshape(t, ox_ref.shape[-1])  # [T, PLM]
+    oy_raw = oy_ref[0, 0].reshape(t, oy_ref.shape[-1])
+    # clip + pass-through mask in-kernel (`msda_windowed.py:88-89` semantics:
+    # grads flow only where the raw offset is inside the window)
+    mask_x = (jnp.abs(ox_raw) <= lim).astype(jnp.float32)
+    mask_y = (jnp.abs(oy_raw) <= lim).astype(jnp.float32)
+    ox = jnp.clip(ox_raw, -lim, lim)
+    oy = jnp.clip(oy_raw, -lim, lim)
     wgt = w_ref[0, 0].reshape(t, w_ref.shape[-1])
-    g = g_ref[0, 0].reshape(t, k).astype(jnp.float32)
-    gtile = jnp.concatenate([g] * num_l, axis=1)  # [T, L*K]
+    g32 = g_ref[0, 0].reshape(t, k).astype(jnp.float32)
+    gtile = jnp.concatenate([g32] * num_l, axis=1)  # [T, L*K] f32 (gv accumulate)
+    gtile_v = gtile.astype(vtile.dtype)  # kernel-dtype copy for the value-side product
 
     # x-shift-only factors, computed once for the (2R+1) columns instead of
     # once per (dy, dx) pair (the kernel is VPU-bound; see fwd kernel note)
@@ -73,71 +90,78 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
         wy = wgt * haty  # hoisted per-dy products
         wdy = wgt * dhaty
         vslab = vtile[pl.ds(dyi, th), :, :]
+        sx = jnp.zeros_like(ox)  # per-dy running x-sums
+        sdx = jnp.zeros_like(ox)
         for dxi in range(win):
             cw3 = wy * hatxs[dxi]  # [T, PLM]
             cwlk = jnp.dot(jnp.dot(cw3, s_ref[...], preferred_element_type=jnp.float32),
                            e_ref[...], preferred_element_type=jnp.float32)  # [T, LK]
-            vwin = vslab[:, dxi : dxi + tw, :].reshape(t, lk).astype(jnp.float32)
+            vwin = vslab[:, dxi : dxi + tw, :].reshape(t, lk)  # bf16
 
             # d value: cw * g, accumulated at the shifted window position
             gv_contrib = (cwlk * gtile).reshape(th, tw, lk).astype(gv_ref.dtype)
             cur = gv_ref[0, 0, pl.ds(dyi, th), dxi : dxi + tw, :]
             gv_ref[0, 0, pl.ds(dyi, th), dxi : dxi + tw, :] = cur + gv_contrib
 
-            # d cw3 back through the two selection matmuls
-            dlk = vwin * gtile  # [T, LK]
+            # d cw3 back through the two selection matmuls (kernel-dtype
+            # product — bf16 in production — f32 accumulation on the MXU)
+            dlk = vwin * gtile_v  # [T, LK]
             dcw3 = jnp.dot(jnp.dot(dlk, et_ref[...], preferred_element_type=jnp.float32),
                            st_ref[...], preferred_element_type=jnp.float32)  # [T, PLM]
-            tx = hatxs[dxi] * dcw3  # shared factor for gw and goy
-            gw = gw + haty * tx
-            gox = gox + wy * (dhatxs[dxi] * dcw3)
-            goy = goy + wdy * tx
+            sx = sx + hatxs[dxi] * dcw3
+            sdx = sdx + dhatxs[dxi] * dcw3
+        gw = gw + haty * sx
+        goy = goy + wdy * sx
+        gox = gox + wy * sdx
         return gox, goy, gw
 
     zeros = jnp.zeros_like(ox)
     gox, goy, gw = jax.lax.fori_loop(0, win, body_dy, (zeros, zeros, zeros))
     plm = ox_ref.shape[-1]
-    gox_ref[0, 0] = gox.reshape(th, tw, plm)
-    goy_ref[0, 0] = goy.reshape(th, tw, plm)
-    gw_ref[0, 0] = gw.reshape(th, tw, plm)
+    packed = jnp.concatenate([gox * mask_x, goy * mask_y, gw], axis=-1)  # [T, 3*PLM]
+    go_ref[0, 0] = packed.reshape(th, tw, 3 * plm)
 
 
 def msda_windowed_pallas_bwd(
-    value: jnp.ndarray,  # [B, L, H, W, M, D]
+    value: jnp.ndarray,  # [B, L, H, W, M, D]  (H + 2*radius rows when row_halo)
     offsets: jnp.ndarray,  # [B, C, H, W, M, L, P, 2]
     weights: jnp.ndarray,  # [B, C, H, W, M, L, P]
     g: jnp.ndarray,  # [B, C, H, W, K] cotangent of the forward output
     radius: int = 4,
     kernel_dtype=jnp.bfloat16,
+    row_halo: bool = False,
     interpret: bool | None = None,
 ):
     """Returns (g_value, g_offsets, g_weights) with the input shapes; the
-    batch rides a grid axis like the forward."""
+    batch rides a grid axis like the forward. With ``row_halo`` the value (and
+    its cotangent) carry ±radius extra rows — halo grads flow back to the
+    neighbor shards through the ppermute transpose in `ops/msda_sharded.py`."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, l, h, w, m, d = value.shape
+    b, l, hv, w, m, d = value.shape
+    h = hv - 2 * radius if row_halo else hv
     c, p = weights.shape[1], weights.shape[-1]
     k = m * d
     plm = p * l * m
 
-    th = _pick_tile(h, 6)  # smaller than fwd: three grad outputs + gv slab share VMEM
+    th = _pick_tile(h, 6)  # smaller than fwd: grad outputs + gv slab share VMEM
     wp = -(-w // 8) * 8
     tw = wp
     vwidth = tw + 2 * radius
     vwidth += (-vwidth) % 8
 
-    vfused = jnp.moveaxis(value.reshape(b, l, h, w, k), 1, 3).reshape(b, h, w, l * k)
-    vp = jnp.pad(vfused, ((0, 0), (radius, radius), (radius, vwidth - w - radius), (0, 0))).astype(kernel_dtype)
+    vfused = jnp.moveaxis(value.reshape(b, l, hv, w, k), 1, 3).reshape(b, hv, w, l * k)
+    ypad = (0, 0) if row_halo else (radius, radius)
+    vp = jnp.pad(vfused, ((0, 0), ypad, (radius, vwidth - w - radius), (0, 0))).astype(kernel_dtype)
 
     def prep(x):
         x = jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4)).reshape(b, c, h, w, plm).astype(jnp.float32)
         return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
 
-    lim = float(radius)  # ±radius exactly — matches the forward clamp
-    in_range_x = jnp.abs(offsets[..., 0]) <= lim  # clip pass-through mask
-    in_range_y = jnp.abs(offsets[..., 1]) <= lim
-    ox = prep(jnp.clip(offsets[..., 0], -lim, lim))
-    oy = prep(jnp.clip(offsets[..., 1], -lim, lim))
+    # raw offsets go straight in: the clip and its pass-through mask run
+    # in-kernel (saves two XLA elementwise passes over the [B,C,H,W,PLM] pair)
+    ox = prep(offsets[..., 0])
+    oy = prep(offsets[..., 1])
     wg = prep(weights)
     gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
 
@@ -149,13 +173,11 @@ def msda_windowed_pallas_bwd(
                          memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec((1, 1, th, tw, k), lambda bb, i, cc: (bb, cc, i, 0, 0),
                          memory_space=pltpu.VMEM)
-    gox, goy, gw, gv_blocks = pl.pallas_call(
+    go, gv_blocks = pl.pallas_call(
         functools.partial(_bwd_kernel, radius=radius, th=th, tw=tw, vwidth=vwidth,
                           num_l=l, num_m=m, num_d=d),
         out_shape=(
-            jax.ShapeDtypeStruct((b, c, h, wp, plm), jnp.float32),
-            jax.ShapeDtypeStruct((b, c, h, wp, plm), jnp.float32),
-            jax.ShapeDtypeStruct((b, c, h, wp, plm), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, h, wp, 3 * plm), jnp.float32),
             jax.ShapeDtypeStruct((b, n_h, th + 2 * radius, vwidth, l * k), jnp.float32),
         ),
         grid=grid,
@@ -168,9 +190,8 @@ def msda_windowed_pallas_bwd(
             pl.BlockSpec(memory_space=pl.ANY),  # value (manual DMA)
         ],
         out_specs=(
-            qspec,
-            qspec,
-            qspec,
+            pl.BlockSpec((1, 1, th, tw, 3 * plm), lambda bb, i, cc: (bb, cc, i, 0, 0),
+                         memory_space=pltpu.VMEM),
             # constant index over the camera axis: the slab stays resident and
             # accumulates across cameras, written back once per (batch, row-block)
             pl.BlockSpec((1, 1, th + 2 * radius, vwidth, l * k),
@@ -189,13 +210,16 @@ def msda_windowed_pallas_bwd(
     gv_full = jnp.zeros((b, h + 2 * radius, vwidth, l * k), jnp.float32)
     for i in range(n_h):
         gv_full = gv_full.at[:, i * th : i * th + th + 2 * radius].add(gv_blocks[:, i])
-    gv = gv_full[:, radius : radius + h, radius : radius + w, :]
-    g_value = jnp.moveaxis(gv.reshape(b, h, w, l, k), 3, 1).reshape(b, l, h, w, m, d).astype(value.dtype)
+    # with row_halo the ±radius rows are real (neighbor-shard) rows: keep them
+    gv = gv_full[:, :, radius : radius + w, :]
+    if not row_halo:
+        gv = gv[:, radius : radius + h]
+    g_value = jnp.moveaxis(gv.reshape(b, hv, w, l, k), 3, 1).reshape(b, l, hv, w, m, d).astype(value.dtype)
 
     def unprep(x):  # [B, C, H, Wp, PLM] -> [B, C, H, W, M, L, P]
         x = x[:, :, :, :w, :].reshape(b, c, h, w, p, l, m)
         return jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4))
 
-    g_off = jnp.stack([unprep(gox) * in_range_x, unprep(goy) * in_range_y], axis=-1)
-    g_wgt = unprep(gw).astype(weights.dtype)
+    g_off = jnp.stack([unprep(go[..., :plm]), unprep(go[..., plm : 2 * plm])], axis=-1)
+    g_wgt = unprep(go[..., 2 * plm :]).astype(weights.dtype)
     return g_value, g_off.astype(offsets.dtype), g_wgt

@@ -87,7 +87,28 @@ def _patch_sample_fwd(feats, sx, sy, h, w):
 
 def _patch_sample_bwd(h, w, res, g):
     sx, sy = res
-    return bilinear_scatter_matmul(g, sx, sy, h, w), jnp.zeros_like(sx), jnp.zeros_like(sy)
+    return warp_scatter_accumulate(g, sx, sy, h, w), jnp.zeros_like(sx), jnp.zeros_like(sy)
+
+
+def warp_scatter_accumulate(g: jnp.ndarray, sx, sy, h: int, w: int) -> jnp.ndarray:
+    """Adjoint-of-sampling dispatch: Pallas kernel on TPU
+    (`ops/pallas/warp_bwd.py` — VMEM-resident accumulator, MXU contraction),
+    XLA one-hot matmul (`ops/sampling.py`) elsewhere."""
+    import os
+
+    c = g.shape[-1]
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and c % 128 == 0
+        and w % 16 == 0  # out-block sublane tile (bf16)
+        and w * h * c * 4 <= 64 * 1024 * 1024  # f32 accumulator must fit VMEM
+        and os.environ.get("MVDETR_NO_PALLAS", "0") != "1"
+    )
+    if use_pallas:
+        from mvdetr_tpu.ops.pallas.warp_bwd import warp_bwd_pallas
+
+        return warp_bwd_pallas(g, sx, sy, h, w)
+    return bilinear_scatter_matmul(g, sx, sy, h, w)
 
 
 _patch_sample_nocoordgrad.defvjp(_patch_sample_fwd, _patch_sample_bwd)

@@ -20,9 +20,18 @@ from jax.sharding import Mesh
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
-    """Idempotent ``jax.distributed.initialize`` (no-op single-process)."""
+    """Idempotent ``jax.distributed.initialize`` (no-op single-process).
+
+    On the CPU backend, multi-process collectives need the gloo implementation
+    selected before the backend initializes (`tests/test_multihost.py` runs
+    the 2-process recipe on localhost)."""
     if num_processes is None or num_processes <= 1:
         return
+    import os
+
+    plats = str(jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in plats:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
     except RuntimeError:

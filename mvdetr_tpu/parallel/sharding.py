@@ -91,4 +91,14 @@ def make_sharded_eval_step(mesh: Mesh, world_reduce: int = 4, num_candidates: in
 
 
 def replicate_state(state, mesh: Mesh):
-    return jax.device_put(state, replicated(mesh))
+    """Replicate the train state over the mesh. On multi-host runs the mesh
+    spans non-addressable devices, so each host contributes its (identical,
+    same-seed) local copy via ``make_array_from_process_local_data``."""
+    if jax.process_count() == 1:
+        return jax.device_put(state, replicated(mesh))
+    import numpy as np
+
+    rep = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)), state
+    )

@@ -70,10 +70,13 @@ def train_step(state, batch, rng, alpha: float = 1.0, use_mse: bool = False):
             batch["imgs"],
             batch["affine_mats"],
             train=True,
-            mutable=["batch_stats"],
+            mutable=["batch_stats", "diagnostics"],
             rngs={"dropout": rng},
         )
         loss, aux = supervised_loss(outputs, batch, alpha, use_mse)
+        diag = mutated.get("diagnostics", {})
+        if diag:  # e.g. per-layer offset_clip_fraction (windowed-clamp health)
+            aux["offset_clip_fraction"] = jnp.mean(jnp.stack(jax.tree.leaves(diag)))
         return loss, (aux, mutated["batch_stats"])
 
     (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -225,10 +228,16 @@ class Trainer:
                 self.log(f"profiler trace written to {self.profile_dir}")
             if count % log_interval == 0:
                 total = float(jnp.sum(jnp.stack(losses_dev)))
-                self.log(f"Train epoch {epoch} batch {count}: loss {total / count:.6f}, t {time.time() - t0:.1f}s")
+                clip = (f", clip_frac {float(aux['offset_clip_fraction']):.4f}"
+                        if "offset_clip_fraction" in aux else "")
+                self.log(f"Train epoch {epoch} batch {count}: loss {total / count:.6f}{clip}, "
+                         f"t {time.time() - t0:.1f}s")
         if profiling:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
             self.log(f"profiler trace written to {self.profile_dir}")
+        elif self.profile_dir is not None and epoch == 1 and count < 2:
+            self.log(f"NOTE: --profile requested but epoch 1 had only {count} batch(es) — "
+                     "no trace was written (the window starts at batch 2)")
         total = float(jnp.sum(jnp.stack(losses_dev))) if losses_dev else 0.0
         self.log(f"Train epoch {epoch} done: loss {total / max(count, 1):.6f}, t {time.time() - t0:.1f}s")
         return total / max(count, 1)
@@ -238,6 +247,7 @@ class Trainer:
         t0 = time.time()
         total, count = 0.0, 0
         rows = []
+        cap_hits = 0
         last_batch = None
         indexing_ij = self.train_set.rig.indexing == "ij"
         if self.mesh is not None and self._sharded_eval is None:
@@ -248,43 +258,94 @@ class Trainer:
                 num_candidates=self.nms_top_k, alpha=self.alpha, use_mse=self.use_mse,
             )
         data_size = int(self.mesh.shape.get("data", 1)) if self.mesh is not None else 1
+        multiproc = self.mesh is not None and jax.process_count() > 1
         from mvdetr_tpu.data.prefetch import prefetch_to_device
 
-        host_batches = self.test_set.batches(
-            batch_size, shuffle=False, drop_last=False, num_workers=self.num_workers
-        )
-        for batch in prefetch_to_device(host_batches, size=self.prefetch):
-            if self._sharded_eval is not None and batch["imgs"].shape[0] % data_size == 0:
-                from mvdetr_tpu.parallel import shard_batch
-
-                aux, xys, keep = self._sharded_eval(self.state, shard_batch(batch, self.mesh))
-            else:  # unsharded fallback (ragged final batch, or no mesh)
-                aux, xys, keep = eval_step(
-                    self.state,
-                    batch,
-                    world_reduce=self.test_set.world_reduce,
-                    num_candidates=self.nms_top_k,
-                    alpha=self.alpha,
-                    use_mse=self.use_mse,
-                )
-            total += float(aux["loss"])
-            count += 1
-            last_batch = batch
+        def emit(xys, keep, frames):
+            """Detection rows from the (host-visible) eval outputs. All hosts
+            see identical replicated outputs, so rows agree across processes."""
+            nonlocal cap_hits
             xys = np.asarray(xys)
             keep = np.asarray(keep)
             for b in range(xys.shape[0]):
-                sel = keep[b] & (xys[b, :, 2] > self.cls_thres)
+                above = xys[b, :, 2] > self.cls_thres
+                # the eval step keeps only the top `nms_top_k` cells; if every
+                # one clears the threshold the cap likely truncated candidates
+                # (the reference thresholds all cells, `trainer.py:131-135`)
+                cap_hits += int(above.all())
+                sel = keep[b] & above
                 pos = xys[b, sel, :2]
                 if indexing_ij:  # grid (x, y) -> dataset-native (`trainer.py:125-128`)
                     pos = pos[:, [1, 0]]
-                frame = int(batch["frame"][b])
                 for p in pos:
-                    rows.append([frame, p[0], p[1]])
+                    rows.append([int(frames[b]), p[0], p[1]])
 
+        if multiproc:
+            # Each host assembles only its data-axis slice of every full
+            # global batch (`parallel/multihost.py`); eval outputs come back
+            # fully replicated, so every host emits the same rows. Frame ids
+            # come from the deterministic (shuffle=False) dataset order — the
+            # sharded `batch["frame"]` array is not host-readable.
+            from mvdetr_tpu.parallel import global_batch_from_local, process_batch_slice
+
+            frames_order = [int(f) for f in self.test_set.frames]
+            n_full = len(frames_order) // batch_size
+            it = self.test_set.batches(
+                batch_size, shuffle=False, drop_last=True,
+                num_workers=self.num_workers, local_slice=process_batch_slice(batch_size),
+            )
+            put = lambda b: global_batch_from_local(b, self.mesh)
+            for bi, batch in enumerate(prefetch_to_device(it, size=self.prefetch, put=put)):
+                aux, xys, keep = self._sharded_eval(self.state, batch)
+                total += float(aux["loss"])
+                count += 1
+                emit(xys, keep, frames_order[bi * batch_size : (bi + 1) * batch_size])
+            # ragged tail: every host evaluates the same local batch unsharded
+            tail_idx = list(range(n_full * batch_size, len(frames_order)))
+            if tail_idx:
+                from mvdetr_tpu.data.dataset import collate
+
+                host_state = jax.device_get(self.state)
+                batch = jax.device_put(collate([self.test_set[i] for i in tail_idx]))
+                aux, xys, keep = eval_step(
+                    host_state, batch, world_reduce=self.test_set.world_reduce,
+                    num_candidates=self.nms_top_k, alpha=self.alpha, use_mse=self.use_mse,
+                )
+                total += float(aux["loss"])
+                count += 1
+                emit(xys, keep, [frames_order[i] for i in tail_idx])
+        else:
+            host_batches = self.test_set.batches(
+                batch_size, shuffle=False, drop_last=False, num_workers=self.num_workers
+            )
+            for batch in prefetch_to_device(host_batches, size=self.prefetch):
+                if self._sharded_eval is not None and batch["imgs"].shape[0] % data_size == 0:
+                    from mvdetr_tpu.parallel import shard_batch
+
+                    aux, xys, keep = self._sharded_eval(self.state, shard_batch(batch, self.mesh))
+                else:  # unsharded fallback (ragged final batch, or no mesh)
+                    aux, xys, keep = eval_step(
+                        self.state,
+                        batch,
+                        world_reduce=self.test_set.world_reduce,
+                        num_candidates=self.nms_top_k,
+                        alpha=self.alpha,
+                        use_mse=self.use_mse,
+                    )
+                total += float(aux["loss"])
+                count += 1
+                last_batch = batch
+                emit(xys, keep, np.asarray(batch["frame"]))
+
+        if cap_hits:
+            self.log(
+                f"WARNING: eval top-K cap ({self.nms_top_k}) saturated on {cap_hits} frame(s) — "
+                "detections may be truncated; raise --nms_top_k"
+            )
         det = np.asarray(rows, dtype=np.float64).reshape(-1, 3)
-        if res_fpath is not None:
+        if res_fpath is not None and jax.process_index() == 0:
             np.savetxt(res_fpath, det, "%d")
-        if visualize_dir is not None and last_batch is not None:
+        if visualize_dir is not None and last_batch is not None and not multiproc:
             self._dump_heatmaps(last_batch, visualize_dir)
         gt = self.test_set.gt_array()
         # CLEAR matches on the integer-truncated rows as written to test.txt

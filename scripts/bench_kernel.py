@@ -40,10 +40,10 @@ def main():
         jnp.asarray(rng.standard_normal((b, c, h, w, m, l * pnum)), jnp.float32), axis=-1
     ).reshape(b, c, h, w, m, l, pnum)
 
-    fwd = jax.jit(lambda v, o, wg: _pallas_windowed(args.radius, v, o, wg))
+    fwd = jax.jit(lambda v, o, wg: _pallas_windowed(args.radius, False, True, v, o, wg))
 
     def loss(v, o, wg):
-        return jnp.sum(_pallas_windowed(args.radius, v, o, wg).astype(jnp.float32) ** 2)
+        return jnp.sum(_pallas_windowed(args.radius, False, True, v, o, wg).astype(jnp.float32) ** 2)
 
     bwd = jax.jit(lambda v, o, wg: jax.grad(loss, argnums=(0, 1, 2))(v, o, wg))
 

@@ -1,0 +1,71 @@
+"""Worker for the 2-process multi-host test (`tests/test_multihost.py`).
+
+Runs one tiny flagship train epoch + the CLEAR test loop under a global mesh
+spanning all processes, and prints a RESULT json line. Launched as
+``python tests/_multihost_worker.py <port> <num_processes> <process_id>``;
+with num_processes=1 it is the single-process reference run of the same
+global computation.
+"""
+
+import json
+import os
+import sys
+
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+port, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from mvdetr_tpu.parallel import initialize_distributed, make_mesh  # noqa: E402
+
+initialize_distributed(f"localhost:{port}", nproc, pid)
+assert jax.process_count() == nproc, (jax.process_count(), nproc)
+
+import numpy as np  # noqa: E402
+
+from mvdetr_tpu.data import FrameDataset, SyntheticScene  # noqa: E402
+from mvdetr_tpu.geometry import make_synthetic_rig  # noqa: E402
+from mvdetr_tpu.models import MVDeTr  # noqa: E402
+from mvdetr_tpu.train import Trainer, create_train_state  # noqa: E402
+
+GLOBAL_BATCH = 2
+
+rig = make_synthetic_rig(num_cam=2, img_shape=(48, 96), worldgrid_shape=(32, 64))
+scene = SyntheticScene(rig, num_frame=30, num_person=3, seed=7)
+common = dict(world_reduce=2, img_reduce=12, top_k=8)
+train_set = FrameDataset(scene, train=True, augmentation=True, **common)
+test_set = FrameDataset(scene, train=False, **common)  # 3 frames: 1 full batch + ragged tail
+
+mesh = make_mesh(num_view_shards=1)  # data axis = global device count
+model = MVDeTr.from_rig(rig, world_reduce=2, img_reduce=12, world_feat_arch="deform_trans",
+                        bottleneck_dim=32, mesh=mesh)
+sample = next(train_set.batches(batch_size=1, shuffle=False))
+state = create_train_state(model, sample, lr=1e-3, total_steps=20)
+
+logs = []
+trainer = Trainer(state, train_set, test_set, cls_thres=0.01, mesh=mesh, logger=logs.append)
+
+# one isolated global step from pristine state: loss must match the
+# single-process value to reduction-order precision (VERDICT r2 item 3)
+probe_batch = next(iter(trainer._batches(GLOBAL_BATCH)))
+probe_state = jax.tree.map(lambda x: x + 0 if hasattr(x, "dtype") else x, trainer.state)
+_, probe_aux = trainer._step_on(probe_state, probe_batch, jax.random.PRNGKey(99))
+first_loss = float(probe_aux["loss"])
+
+train_loss = trainer.train_epoch(1, batch_size=GLOBAL_BATCH, log_interval=1000)
+test_loss, moda, modp, precision, recall = trainer.test(batch_size=GLOBAL_BATCH)
+
+print("RESULT " + json.dumps({
+    "pid": pid,
+    "nproc": nproc,
+    "first_loss": first_loss,
+    "train_loss": float(train_loss),
+    "test_loss": float(test_loss),
+    "moda": float(moda),
+    "precision": float(precision),
+}), flush=True)

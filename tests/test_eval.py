@@ -3,6 +3,7 @@ python evaluation (imported read-only from /root/reference — numpy/scipy only)
 mirroring the reference's own python-vs-MATLAB mutual-oracle pattern
 (`evaluation/evaluate.py:21-33`)."""
 
+import os
 import sys
 
 import numpy as np
@@ -86,3 +87,33 @@ def test_parity_with_reference_pyeval(tmp_path, seed):
     np.testing.assert_allclose(
         [recall, precision, moda, modp], [ref_recall, ref_precision, ref_moda, ref_modp], atol=1e-6
     )
+
+
+def test_reference_demo_fixtures():
+    """The reference's canned metric fixtures
+    (`/root/reference/multiview_detector/evaluation/{gt,test}-demo.txt`,
+    exercised by `evaluation/evaluate.py:36-50`): pin the exact numbers and,
+    when importable, assert parity with the reference pyeval on them."""
+    from mvdetr_tpu.evaluation.clear import evaluate_files
+
+    gt = "/root/reference/multiview_detector/evaluation/gt-demo.txt"
+    det = "/root/reference/multiview_detector/evaluation/test-demo.txt"
+    if not os.path.exists(gt):
+        pytest.skip("reference demo fixtures unavailable")
+    recall, precision, moda, modp = evaluate_files(det, gt)
+    np.testing.assert_allclose(
+        [recall, precision, moda, modp],
+        [94.9579831932773, 93.58178053830227, 88.4453781512605, 75.60477898846452],
+        rtol=1e-9,
+    )
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from multiview_detector.evaluation.pyeval.evaluateDetection import evaluateDetection_py
+    except Exception:
+        return  # pinned numbers above already asserted
+    finally:
+        sys.path.remove("/root/reference")
+    r_recall, r_precision, r_moda, r_modp = evaluateDetection_py(det, gt, "demo")
+    np.testing.assert_allclose([recall, precision, moda, modp],
+                               [r_recall, r_precision, r_moda, r_modp], rtol=1e-9)

@@ -75,3 +75,37 @@ def test_dispatch_falls_back_on_small_channels(rng):
     wgt = np.full((b, l, h, w, m, l, p), 1.0 / (l * p), np.float32)
     out = windowed_attention(jnp.asarray(value), jnp.asarray(off), jnp.asarray(wgt), 2)
     assert out.shape == (b, l * h * w, m * d)
+
+
+def test_pallas_row_halo_matches_xla(rng):
+    """row_halo mode (BEV-row-sharded path, `ops/msda_sharded.py`): value rows
+    carry a pre-attached ±radius halo; fwd + bwd kernels vs the XLA path."""
+    import jax
+
+    from mvdetr_tpu.ops.pallas.msda_kernel_bwd import msda_windowed_pallas_bwd
+
+    b, l, h, w, m, d, p, c = 1, 2, 6, 16, 8, 16, 2, 2
+    radius = 2
+    value = jnp.asarray(rng.standard_normal((b, l, h + 2 * radius, w, m, d)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-1.5, 1.5, (b, c, h, w, m, l, p, 2)), jnp.float32)
+    wgt = jnp.asarray(rng.uniform(0, 1, (b, c, h, w, m, l, p)), jnp.float32)
+    wgt = wgt / wgt.sum(axis=(-1, -2), keepdims=True)
+
+    from mvdetr_tpu.ops.msda_windowed import ms_deform_attn_windowed
+
+    out = np.asarray(msda_windowed_pallas(
+        value, off, wgt, radius, kernel_dtype=jnp.float32, row_halo=True, interpret=True,
+    ))
+    ref_fn = lambda v, o, wt: ms_deform_attn_windowed(v, o, wt, radius, row_halo=True, flatten=False)
+    ref = np.asarray(ref_fn(value, off, wgt))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    g = jnp.asarray(rng.standard_normal((b, c, h, w, m * d)), jnp.float32)
+    gv, go, gw = msda_windowed_pallas_bwd(value, off, wgt, g, radius,
+                                          kernel_dtype=jnp.float32, row_halo=True, interpret=True)
+    _, vjp = jax.vjp(ref_fn, value, off, wgt)
+    rv, ro, rw = vjp(g)
+    assert gv.shape == value.shape  # halo rows included
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(ro), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=3e-5)
