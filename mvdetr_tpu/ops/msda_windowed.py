@@ -111,15 +111,28 @@ def ms_deform_attn_windowed(
 
 
 # ------------------------------------------------------------------ dispatch
+_logged_fallbacks = set()
+
+
+def log_fallback_once(key: str, msg: str) -> None:
+    """One log line the first time a TPU run falls off a Pallas fast path —
+    a silent fallback costs ~10x and should never be a mystery."""
+    if key not in _logged_fallbacks:
+        _logged_fallbacks.add(key)
+        print(f"mvdetr_tpu: {msg}")
+
+
 def windowed_attention(value, offsets, weights, radius: int = 4, use_pallas: bool | None = None,
                        row_halo: bool = False, flatten: bool = True):
     """Windowed deformable attention with backend dispatch.
 
     On TPU both directions run the Pallas kernels
     (`ops/pallas/msda_kernel.py` / `msda_kernel_bwd.py` — every input read
-    once, deterministic overlap-add backward). Off-TPU, the dense XLA
-    formulation above runs both ways. ``row_halo``/``flatten`` as in
-    :func:`ms_deform_attn_windowed` (the BEV-row-sharded path).
+    once, deterministic overlap-add backward). A head dim with
+    ``M*D % 128 != 0`` is zero-padded up to the next 128-lane multiple rather
+    than rejected. Off-TPU, the dense XLA formulation above runs both ways.
+    ``row_halo``/``flatten`` as in :func:`ms_deform_attn_windowed` (the
+    BEV-row-sharded path).
     """
     import os
 
@@ -127,18 +140,39 @@ def windowed_attention(value, offsets, weights, radius: int = 4, use_pallas: boo
 
     m, d = value.shape[-2], value.shape[-1]
     num_l = value.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and (m * d) % 128 == 0
+        use_pallas = on_tpu and os.environ.get("MVDETR_NO_PALLAS", "0") != "1"
+        if use_pallas and num_l > 8:
             # the kernel stages a [TH+2R, W+2R, L*M*D] halo tile in VMEM; past
             # ~8 levels (e.g. the warped L*P pseudo-level stack) it can't fit
-            and num_l <= 8
-            and os.environ.get("MVDETR_NO_PALLAS", "0") != "1"
-        )
+            log_fallback_once(
+                f"msda_l{num_l}",
+                f"windowed attention falling back to the ~10x slower XLA path: "
+                f"{num_l} levels exceed the Pallas kernel's VMEM tile budget (max 8)",
+            )
+            use_pallas = False
     if not use_pallas:
         return ms_deform_attn_windowed(value, offsets, weights, radius,
                                        row_halo=row_halo, flatten=flatten)
+    if (m * d) % 128 != 0:
+        # zero-pad D so the fused head-channel axis tiles onto 128 lanes; the
+        # padded channels carry zeros through the kernel and are sliced off
+        # (their value-cotangents are discarded by the same slice)
+        k = m * d
+        dp = d + (-(k) % 128 + m - 1) // m
+        while (m * dp) % 128 != 0:
+            dp += 1
+        log_fallback_once(
+            f"msda_pad{k}",
+            f"windowed attention padding head dim {d} -> {dp} (M*D {k} -> {m * dp}) "
+            "for 128-lane tiling",
+        )
+        vpad = jnp.pad(value, ((0, 0),) * 5 + ((0, dp - d),))
+        out = _pallas_windowed(radius, row_halo, False, vpad, offsets, weights)
+        b, c, h, w = out.shape[0], out.shape[1], out.shape[2], out.shape[3]
+        out = out.reshape(b, c, h, w, m, dp)[..., :d].reshape(b, c, h, w, m * d)
+        return out.reshape(b, c * h * w, m * d) if flatten else out
     return _pallas_windowed(radius, row_halo, flatten, value, offsets, weights)
 
 
@@ -156,18 +190,35 @@ def _pallas_windowed(radius, row_halo, flatten, value, offsets, weights):
 
 
 def _pallas_windowed_fwd(radius, row_halo, flatten, value, offsets, weights):
-    return _pallas_windowed(radius, row_halo, flatten, value, offsets, weights), (value, offsets, weights)
+    # Stage the kernel inputs ONCE and keep the staged arrays as residuals:
+    # the backward reuses them directly, skipping the three [B,C,H,W,PLM]
+    # transpose/pad passes it would otherwise redo (~15% of the op's cost).
+    from mvdetr_tpu.ops.pallas.msda_kernel import msda_windowed_pallas_prepped, prep_inputs
+
+    m, d, p, w = value.shape[-2], value.shape[-1], weights.shape[-1], value.shape[3]
+    vp, ox, oy, wg = prep_inputs(value, offsets, weights, radius, row_halo=row_halo)
+    out = msda_windowed_pallas_prepped(vp, ox, oy, wg, m=m, d=d, p=p, w=w,
+                                       radius=radius, row_halo=row_halo)
+    b, c, h, wo, k = out.shape
+    out = out.reshape(b, c * h * wo, k) if flatten else out
+    # zero-size arrays carry the (static) shape/dtype metadata the backward
+    # needs: original out-dtypes plus (m, d, p, w) encoded in the shape
+    meta = (jnp.zeros((m, d, p, w, 0), value.dtype),
+            jnp.zeros((0,), offsets.dtype), jnp.zeros((0,), weights.dtype))
+    return out, (vp, ox, oy, wg, meta)
 
 
 def _pallas_windowed_bwd(radius, row_halo, flatten, residuals, g):
-    from mvdetr_tpu.ops.pallas.msda_kernel_bwd import msda_windowed_pallas_bwd
+    from mvdetr_tpu.ops.pallas.msda_kernel_bwd import msda_windowed_pallas_bwd_prepped
 
-    value, offsets, weights = residuals
-    b = value.shape[0]
-    m, d = value.shape[-2], value.shape[-1]
-    c, h, w = offsets.shape[1], offsets.shape[2], offsets.shape[3]
+    vp, ox, oy, wg, (mv, mo, mw) = residuals
+    m, d, p, w = mv.shape[:4]
+    b, c, h, _, _ = ox.shape
     g = g.reshape(b, c, h, w, m * d)
-    return msda_windowed_pallas_bwd(value, offsets, weights, g, radius, row_halo=row_halo)
+    return msda_windowed_pallas_bwd_prepped(
+        vp, ox, oy, wg, g, m=m, d=d, p=p, w=w, radius=radius, row_halo=row_halo,
+        out_dtypes=(mv.dtype, mo.dtype, mw.dtype),
+    )
 
 
 _pallas_windowed.defvjp(_pallas_windowed_fwd, _pallas_windowed_bwd)

@@ -40,6 +40,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def vmem_limit_bytes(fraction: float = 0.78) -> int:
+    """Per-core VMEM budget derived from the attached device generation
+    (v2/v3: 64 MB, v4+/v5e/v6e: 128 MB) instead of hard-coded literals."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    total = 64 * 2**20 if ("v2" in kind or "v3" in kind) else 128 * 2**20
+    return int(total * fraction)
+
+
 def _select_matrices(m: int, l: int, p: int, d: int):
     """S: [PLM, LM] p-sum (channel order (p,l,m) -> (l,m));
     E: [LM, L*M*D] block expansion ((l,m) -> (l,(m,d)))."""
@@ -86,14 +97,20 @@ def _kernel(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref, vtile, sem,
         dma.start()
         dma.wait()
 
-    ox = ox_ref[0, 0].reshape(t, ox_ref.shape[-1])  # [T, PLM]
-    oy = oy_ref[0, 0].reshape(t, oy_ref.shape[-1])
+    lim = float(radius)  # clamp in-kernel: prep ships raw offsets
+    ox = jnp.clip(ox_ref[0, 0].reshape(t, ox_ref.shape[-1]), -lim, lim)  # [T, PLM]
+    oy = jnp.clip(oy_ref[0, 0].reshape(t, oy_ref.shape[-1]), -lim, lim)
     wgt = w_ref[0, 0].reshape(t, w_ref.shape[-1])
 
     # hatx depends only on the x-shift: compute the (2R+1) columns once
     # instead of once per (dy, dx) pair — the kernel is VPU-bound and this
-    # removes most of the per-shift [T, PLM] elementwise work.
-    hatxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - float(dxi - radius))) for dxi in range(win)]
+    # removes most of the per-shift [T, PLM] elementwise work. Above radius 4
+    # the precomputed columns exceed the VMEM headroom (ADVICE r2) — recompute
+    # per shift instead.
+    if win <= 9:
+        hatxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - float(dxi - radius))) for dxi in range(win)]
+    else:
+        hatxs = _LazyHats(ox, radius)
 
     def body_dy(dyi, acc):
         haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - (dyi - radius).astype(jnp.float32)))
@@ -114,11 +131,55 @@ def _kernel(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref, vtile, sem,
     out_ref[0, 0] = acc.reshape(th, tw, k)
 
 
+class _LazyHats:
+    """hat(ox - dx) computed on demand (large-radius VMEM guard)."""
+
+    def __init__(self, ox, radius):
+        self.ox, self.radius = ox, radius
+
+    def __getitem__(self, dxi):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(self.ox - float(dxi - self.radius)))
+
+
 def _pick_tile(n: int, target: int) -> int:
     for cand in range(min(target, n), 0, -1):
         if n % cand == 0:
             return cand
     return n
+
+
+def prep_inputs(value, offsets, weights, radius: int, kernel_dtype=jnp.bfloat16,
+                row_halo: bool = False):
+    """Shared fwd/bwd kernel-input staging (done ONCE per attention call; the
+    custom_vjp saves the prepped arrays as residuals so the backward skips the
+    three big transpose passes):
+
+    - ``vp``: value [B, L, Hv, W, M, D] -> channel-fused [B, Hv(+halo),
+      Wpad, L*K] in the kernel dtype,
+    - ``ox/oy/wg``: [B, C, H, W, M, L, P] -> width-padded [B, C, H, Wp, PLM]
+      f32 in (p, l, m) channel order. Offsets stay RAW — both kernels clamp
+      (and mask, in the backward) in-kernel.
+    """
+    b, l, hv, w, m, d = value.shape
+    h = hv - 2 * radius if row_halo else hv
+    c, p = weights.shape[1], weights.shape[-1]
+    k = m * d
+    plm = p * l * m
+
+    wp = -(-w // 8) * 8
+    vwidth = wp + 2 * radius
+    vwidth += (-vwidth) % 8
+    vfused = jnp.moveaxis(value.reshape(b, l, hv, w, k), 1, 3).reshape(b, hv, w, l * k)
+    ypad = (0, 0) if row_halo else (radius, radius)
+    vp = jnp.pad(
+        vfused, ((0, 0), ypad, (radius, vwidth - w - radius), (0, 0))
+    ).astype(kernel_dtype)
+
+    def prep(x):  # channel order (p, l, m)
+        x = jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4)).reshape(b, c, h, w, plm).astype(jnp.float32)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
+
+    return vp, prep(offsets[..., 0]), prep(offsets[..., 1]), prep(weights)
 
 
 def msda_windowed_pallas(
@@ -139,39 +200,27 @@ def msda_windowed_pallas(
     neighboring shards over ICI instead of zero padding), so only the width
     gets padded here.
     """
+    m, d, p, w = value.shape[-2], value.shape[-1], weights.shape[-1], value.shape[3]
+    vp, ox, oy, wg = prep_inputs(value, offsets, weights, radius, kernel_dtype, row_halo)
+    return msda_windowed_pallas_prepped(vp, ox, oy, wg, m=m, d=d, p=p, w=w,
+                                        radius=radius, row_halo=row_halo, interpret=interpret)
+
+
+def msda_windowed_pallas_prepped(
+    vp, ox, oy, wg, *, m: int, d: int, p: int, w: int,
+    radius: int = 4, row_halo: bool = False, interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Forward from pre-staged inputs (see :func:`prep_inputs`)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, l, hv, w, m, d = value.shape
-    h = hv - 2 * radius if row_halo else hv
-    c, p = weights.shape[1], weights.shape[-1]
+    b, c, h, wp, plm = ox.shape
+    l = plm // (p * m)
     k = m * d
-    plm = p * l * m
     if k % 128 != 0:
         raise ValueError(f"pallas windowed kernel needs M*D % 128 == 0, got {k}")
-
-    # Mosaic: VMEM slice *sizes* on the sublane (-2) dim must be 8-aligned —
-    # pad the query width to a multiple of 8 and slice it back off at the end.
     th = _pick_tile(h, 12)
-    wp = -(-w // 8) * 8
-    tw = wp  # single block across the (padded) width
-    vwidth = tw + 2 * radius
-    vwidth += (-vwidth) % 8
-
-    # value: [B, L, Hv, W, K] -> [B, Hv, W, L*K] channel-fused, padded with halo
-    vfused = jnp.moveaxis(value.reshape(b, l, hv, w, k), 1, 3).reshape(b, hv, w, l * k)
-    ypad = (0, 0) if row_halo else (radius, radius)
-    vp = jnp.pad(
-        vfused, ((0, 0), ypad, (radius, vwidth - w - radius), (0, 0))
-    ).astype(kernel_dtype)
-
-    def prep(x):  # [B, C, H, W, M, L, P] -> padded [B, C, H, Wp, PLM], channel order (p, l, m)
-        x = jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4)).reshape(b, c, h, w, plm).astype(jnp.float32)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
-
-    lim = float(radius)  # ±radius exactly — the +1 corner carries zero weight
-    ox = prep(jnp.clip(offsets[..., 0], -lim, lim))
-    oy = prep(jnp.clip(offsets[..., 1], -lim, lim))
-    wg = prep(weights)
+    tw = wp
+    vwidth = vp.shape[2]
 
     s_mat, e_mat = _select_matrices(m, l, p, d)
 
@@ -194,10 +243,10 @@ def msda_windowed_pallas(
         out_specs=pl.BlockSpec((1, 1, th, tw, k), lambda bb, i, cc: (bb, cc, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * radius, vwidth, l * k), kernel_dtype),
+            pltpu.VMEM((th + 2 * radius, vwidth, l * k), vp.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes(0.75)),
         interpret=interpret,
     )(ox, oy, wg, jnp.asarray(s_mat), jnp.asarray(e_mat), vp)
     return out[:, :, :, :w, :]

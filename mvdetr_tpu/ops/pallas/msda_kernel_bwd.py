@@ -34,7 +34,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mvdetr_tpu.ops.pallas.msda_kernel import _pick_tile, _select_matrices
+from mvdetr_tpu.ops.pallas.msda_kernel import (
+    _pick_tile, _select_matrices, prep_inputs, vmem_limit_bytes,
+)
 
 
 def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, value_ref,
@@ -74,12 +76,18 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
     gtile_v = gtile.astype(vtile.dtype)  # kernel-dtype copy for the value-side product
 
     # x-shift-only factors, computed once for the (2R+1) columns instead of
-    # once per (dy, dx) pair (the kernel is VPU-bound; see fwd kernel note)
-    hatxs, dhatxs = [], []
-    for dxi in range(win):
-        ax = jnp.abs(ox - float(dxi - radius))
-        hatxs.append(jnp.maximum(0.0, 1.0 - ax))
-        dhatxs.append(jnp.where(ax < 1.0, -jnp.sign(ox - float(dxi - radius)), 0.0))
+    # once per (dy, dx) pair (the kernel is VPU-bound; see fwd kernel note).
+    # Above radius 4 the 2*(2R+1) [T, PLM] temporaries exceed VMEM headroom
+    # (ADVICE r2) — recompute per shift instead.
+    if win <= 9:
+        hatxs, dhatxs = [], []
+        for dxi in range(win):
+            ax = jnp.abs(ox - float(dxi - radius))
+            hatxs.append(jnp.maximum(0.0, 1.0 - ax))
+            dhatxs.append(jnp.where(ax < 1.0, -jnp.sign(ox - float(dxi - radius)), 0.0))
+    else:
+        hatxs = _LazyHat(ox, radius, False)
+        dhatxs = _LazyHat(ox, radius, True)
 
     def body_dy(dyi, carry):
         gox, goy, gw = carry
@@ -122,6 +130,19 @@ def _bwd_kernel(ox_ref, oy_ref, w_ref, g_ref, s_ref, e_ref, st_ref, et_ref, valu
     go_ref[0, 0] = packed.reshape(th, tw, 3 * plm)
 
 
+class _LazyHat:
+    """hat / dhat columns computed on demand (large-radius VMEM guard)."""
+
+    def __init__(self, ox, radius, deriv):
+        self.ox, self.radius, self.deriv = ox, radius, deriv
+
+    def __getitem__(self, dxi):
+        delta = self.ox - float(dxi - self.radius)
+        if self.deriv:
+            return jnp.where(jnp.abs(delta) < 1.0, -jnp.sign(delta), 0.0)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(delta))
+
+
 def msda_windowed_pallas_bwd(
     value: jnp.ndarray,  # [B, L, H, W, M, D]  (H + 2*radius rows when row_halo)
     offsets: jnp.ndarray,  # [B, C, H, W, M, L, P, 2]
@@ -136,33 +157,33 @@ def msda_windowed_pallas_bwd(
     batch rides a grid axis like the forward. With ``row_halo`` the value (and
     its cotangent) carry ±radius extra rows — halo grads flow back to the
     neighbor shards through the ppermute transpose in `ops/msda_sharded.py`."""
+    m, d, p, w = value.shape[-2], value.shape[-1], weights.shape[-1], value.shape[3]
+    vp, ox, oy, wg = prep_inputs(value, offsets, weights, radius, kernel_dtype, row_halo)
+    return msda_windowed_pallas_bwd_prepped(
+        vp, ox, oy, wg, g, m=m, d=d, p=p, w=w, radius=radius, row_halo=row_halo,
+        out_dtypes=(value.dtype, offsets.dtype, weights.dtype), interpret=interpret,
+    )
+
+
+def msda_windowed_pallas_bwd_prepped(
+    vp, ox, oy, wg, g, *, m: int, d: int, p: int, w: int,
+    radius: int = 4, row_halo: bool = False, out_dtypes=None,
+    interpret: bool | None = None,
+):
+    """Backward from pre-staged inputs (see `msda_kernel.prep_inputs` — the
+    custom_vjp saves them as residuals, so no re-transpose happens here)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, l, hv, w, m, d = value.shape
-    h = hv - 2 * radius if row_halo else hv
-    c, p = weights.shape[1], weights.shape[-1]
+    b, c, h, wp, plm = ox.shape
+    l = plm // (p * m)
+    hv = h + 2 * radius if row_halo else h
     k = m * d
-    plm = p * l * m
+    if out_dtypes is None:
+        out_dtypes = (vp.dtype, jnp.float32, jnp.float32)
 
     th = _pick_tile(h, 6)  # smaller than fwd: grad outputs + gv slab share VMEM
-    wp = -(-w // 8) * 8
     tw = wp
-    vwidth = tw + 2 * radius
-    vwidth += (-vwidth) % 8
-
-    vfused = jnp.moveaxis(value.reshape(b, l, hv, w, k), 1, 3).reshape(b, hv, w, l * k)
-    ypad = (0, 0) if row_halo else (radius, radius)
-    vp = jnp.pad(vfused, ((0, 0), ypad, (radius, vwidth - w - radius), (0, 0))).astype(kernel_dtype)
-
-    def prep(x):
-        x = jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4)).reshape(b, c, h, w, plm).astype(jnp.float32)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
-
-    # raw offsets go straight in: the clip and its pass-through mask run
-    # in-kernel (saves two XLA elementwise passes over the [B,C,H,W,PLM] pair)
-    ox = prep(offsets[..., 0])
-    oy = prep(offsets[..., 1])
-    wg = prep(weights)
+    vwidth = vp.shape[2]
     gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
 
     s_mat, e_mat = _select_matrices(m, l, p, d)
@@ -198,10 +219,10 @@ def msda_windowed_pallas_bwd(
                          lambda bb, i, cc: (bb, i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * radius, vwidth, l * k), kernel_dtype),
+            pltpu.VMEM((th + 2 * radius, vwidth, l * k), vp.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes(0.78)),
         interpret=interpret,
     )(ox, oy, wg, gp, jnp.asarray(s_mat), jnp.asarray(e_mat),
       jnp.asarray(s_mat.T.copy()), jnp.asarray(e_mat.T.copy()), vp)
@@ -214,12 +235,12 @@ def msda_windowed_pallas_bwd(
     gv = gv_full[:, :, radius : radius + w, :]
     if not row_halo:
         gv = gv[:, radius : radius + h]
-    g_value = jnp.moveaxis(gv.reshape(b, hv, w, l, k), 3, 1).reshape(b, l, hv, w, m, d).astype(value.dtype)
+    g_value = jnp.moveaxis(gv.reshape(b, hv, w, l, k), 3, 1).reshape(b, l, hv, w, m, d).astype(out_dtypes[0])
 
     def unprep(x):  # [B, C, H, Wp, PLM] -> [B, C, H, W, M, L, P]
         x = x[:, :, :, :w, :].reshape(b, c, h, w, p, l, m)
         return jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4))
 
     g_off = jnp.stack([unprep(go[..., :plm]), unprep(go[..., plm : 2 * plm])], axis=-1)
-    g_wgt = unprep(go[..., 2 * plm :]).astype(weights.dtype)
-    return g_value, g_off.astype(offsets.dtype), g_wgt
+    g_wgt = unprep(go[..., 2 * plm :]).astype(out_dtypes[2])
+    return g_value, g_off.astype(out_dtypes[1]), g_wgt

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mvdetr_tpu.ops.pallas.msda_kernel import vmem_limit_bytes
+
 
 def _kernel(g_ref, coord_ref, out_ref, acc, *, h, w, c, qc, band, kdtype):
     nq = pl.num_programs(1)
@@ -133,7 +135,7 @@ def warp_bwd_pallas(
         # is written once per batch element, after the last chunk
         out_specs=pl.BlockSpec((1, h, w, c), lambda bb, qq: (bb, 0, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((w, h * c), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes(0.78)),
         interpret=interpret,
     )(g, coords)
     return out

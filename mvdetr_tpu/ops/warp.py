@@ -97,17 +97,23 @@ def warp_scatter_accumulate(g: jnp.ndarray, sx, sy, h: int, w: int) -> jnp.ndarr
     import os
 
     c = g.shape[-1]
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and c % 128 == 0
-        and w % 16 == 0  # out-block sublane tile (bf16)
-        and w * h * c * 4 <= 64 * 1024 * 1024  # f32 accumulator must fit VMEM
-        and os.environ.get("MVDETR_NO_PALLAS", "0") != "1"
-    )
-    if use_pallas:
-        from mvdetr_tpu.ops.pallas.warp_bwd import warp_bwd_pallas
+    if jax.default_backend() == "tpu" and os.environ.get("MVDETR_NO_PALLAS", "0") != "1":
+        ok = (
+            c % 128 == 0
+            and w % 16 == 0  # out-block sublane tile (bf16)
+            and w * h * c * 4 <= 64 * 1024 * 1024  # f32 accumulator must fit VMEM
+        )
+        if ok:
+            from mvdetr_tpu.ops.pallas.warp_bwd import warp_bwd_pallas
 
-        return warp_bwd_pallas(g, sx, sy, h, w)
+            return warp_bwd_pallas(g, sx, sy, h, w)
+        from mvdetr_tpu.ops.msda_windowed import log_fallback_once
+
+        log_fallback_once(
+            f"warp_bwd_{h}x{w}x{c}",
+            f"warp backward falling back to the XLA one-hot path for shape "
+            f"{h}x{w}x{c} (needs C%128==0, W%16==0, H*W*C*4 <= 64MB)",
+        )
     return bilinear_scatter_matmul(g, sx, sy, h, w)
 
 

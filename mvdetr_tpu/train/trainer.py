@@ -386,6 +386,9 @@ class Trainer:
         ax.set_title("cam1 foot heatmap")
         fig.savefig(os.path.join(out_dir, "cam1_foot.jpg"))
         plt.close(fig)
+        from mvdetr_tpu.utils.visualize import save_forward_stage_figures
+
+        save_forward_stage_figures(self.state, batch, out_dir)  # `mvdetr.py:163-217` parity
         self._dump_shadow_figure(batch, out_dir, plt)
 
     def _dump_shadow_figure(self, batch, out_dir: str, plt) -> None:

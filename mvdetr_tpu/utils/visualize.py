@@ -211,3 +211,66 @@ def detection_video_frames(rig: CameraRig, det_rows: np.ndarray, images_by_frame
             drawn.append(img)
         out[frame] = drawn
     return out
+
+
+def capture_forward_stages(state, batch):
+    """Forward pass capturing the per-stage feature maps the reference dumps
+    under ``visualize=True`` (`mvdetr.py:163-175,196-201,209-217`): the
+    per-view backbone/bottleneck map, the warped BEV inputs, and the fused
+    world feature. Returns (outputs, {name: np.ndarray})."""
+    outputs, mods = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["imgs"], batch["affine_mats"], train=False, mutable=["intermediates"],
+    )
+    inter = mods.get("intermediates", {})
+    stages = {}
+    for name in ("viz_img_featmap", "viz_world_inputs", "viz_world_feature"):
+        if name in inter:
+            stages[name.replace("viz_", "")] = np.asarray(inter[name][0], dtype=np.float32)
+    return outputs, stages
+
+
+def save_forward_stage_figures(state, batch, out_dir: str) -> list:
+    """Write the per-stage channel-norm figures (`--visualize` parity with the
+    reference's in-forward imshow dumps). Returns the written paths."""
+    import os
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return []
+    os.makedirs(out_dir, exist_ok=True)
+    _, stages = capture_forward_stages(state, batch)
+    paths = []
+
+    def norm(x):  # channel L2 as the displayed intensity (`torch.norm(dim=1)`)
+        return np.linalg.norm(x, axis=-1)
+
+    if "img_featmap" in stages:
+        fm = stages["img_featmap"]  # [B*N, Hf, Wf, C]
+        fig, ax = plt.subplots()
+        ax.imshow(norm(fm[0]))
+        ax.set_title("cam1 bottleneck feature (channel norm)")
+        paths.append(os.path.join(out_dir, "stage_img_featmap.jpg"))
+        fig.savefig(paths[-1]); plt.close(fig)
+    if "world_inputs" in stages:
+        wi = stages["world_inputs"]  # [B, N, Hw, Ww, C]
+        n = wi.shape[1]
+        fig, axes = plt.subplots(n, 1, figsize=(8, 2 * n))
+        for cam in range(n):
+            ax = axes[cam] if n > 1 else axes
+            ax.imshow(norm(wi[0, cam]))
+            ax.set_axis_off()
+        fig.suptitle("warped per-camera BEV inputs (channel norm)")
+        paths.append(os.path.join(out_dir, "stage_world_inputs.jpg"))
+        fig.savefig(paths[-1]); plt.close(fig)
+    if "world_feature" in stages:
+        fig, ax = plt.subplots(figsize=(10, 4))
+        ax.imshow(norm(stages["world_feature"][0]))
+        ax.set_title("fused world feature (channel norm)")
+        paths.append(os.path.join(out_dir, "stage_world_feature.jpg"))
+        fig.savefig(paths[-1]); plt.close(fig)
+    return paths

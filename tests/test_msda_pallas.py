@@ -109,3 +109,47 @@ def test_pallas_row_halo_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=3e-5)
     np.testing.assert_allclose(np.asarray(go), np.asarray(ro), atol=3e-5)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=3e-5)
+
+
+def test_pallas_kernel_radius5_lazy_hats(rng):
+    """radius 5 exercises the large-radius in-kernel hat recompute guard
+    (ADVICE r2) in both directions."""
+    import jax
+
+    from mvdetr_tpu.ops.pallas.msda_kernel_bwd import msda_windowed_pallas_bwd
+
+    b, l, h, w, m, d, p, c = 1, 2, 6, 16, 8, 16, 2, 2
+    radius = 5
+    value = jnp.asarray(rng.standard_normal((b, l, h, w, m, d)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-4.5, 4.5, (b, c, h, w, m, l, p, 2)), jnp.float32)
+    wgt = jnp.asarray(rng.uniform(0, 1, (b, c, h, w, m, l, p)), jnp.float32)
+    wgt = wgt / wgt.sum(axis=(-1, -2), keepdims=True)
+
+    out = np.asarray(msda_windowed_pallas(value, off, wgt, radius,
+                                          kernel_dtype=jnp.float32, interpret=True))
+    ref = np.asarray(ms_deform_attn_windowed(value, off, wgt, radius)).reshape(b, c, h, w, m * d)
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+    g = jnp.asarray(rng.standard_normal((b, c, h, w, m * d)), jnp.float32)
+    gv, go, gw = msda_windowed_pallas_bwd(value, off, wgt, g, radius,
+                                          kernel_dtype=jnp.float32, interpret=True)
+    _, vjp = jax.vjp(lambda v, o, wt: ms_deform_attn_windowed(v, o, wt, radius), value, off, wgt)
+    rv, ro, rw = vjp(g.reshape(b, c * h * w, m * d))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(ro), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=5e-5)
+
+
+def test_dispatch_pads_non128_head_dim(rng):
+    """M*D % 128 != 0 no longer falls off the fast path: the dispatcher
+    zero-pads D, runs the kernel, and slices the padding back off."""
+    b, l, h, w, m, d, p, c = 1, 2, 4, 16, 8, 12, 2, 2  # M*D = 96
+    value = jnp.asarray(rng.standard_normal((b, l, h, w, m, d)), jnp.float32)
+    off = jnp.asarray(rng.uniform(-1.5, 1.5, (b, c, h, w, m, l, p, 2)), jnp.float32)
+    wgt = jnp.asarray(rng.uniform(0, 1, (b, c, h, w, m, l, p)), jnp.float32)
+    wgt = wgt / wgt.sum(axis=(-1, -2), keepdims=True)
+
+    out = np.asarray(windowed_attention(value, off, wgt, 2, use_pallas=True))
+    ref = np.asarray(ms_deform_attn_windowed(value, off, wgt, 2))
+    # production kernel dtype is bf16 -> compare loosely
+    assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6) < 2e-2
