@@ -32,6 +32,7 @@ through the ``custom_vjp`` in `ops/msda_windowed.py`.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -218,7 +219,7 @@ def msda_windowed_pallas_prepped(
     k = m * d
     if k % 128 != 0:
         raise ValueError(f"pallas windowed kernel needs M*D % 128 == 0, got {k}")
-    th = _pick_tile(h, 12)
+    th = _pick_tile(h, int(os.environ.get("MVDETR_MSDA_TH_FWD", "12")))
     tw = wp
     vwidth = vp.shape[2]
 

@@ -28,6 +28,7 @@ cotangent, so the slab stays VMEM-resident and accumulates across cameras.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -181,7 +182,8 @@ def msda_windowed_pallas_bwd_prepped(
     if out_dtypes is None:
         out_dtypes = (vp.dtype, jnp.float32, jnp.float32)
 
-    th = _pick_tile(h, 6)  # smaller than fwd: grad outputs + gv slab share VMEM
+    # smaller default than fwd: grad outputs + gv slab share VMEM
+    th = _pick_tile(h, int(os.environ.get("MVDETR_MSDA_TH_BWD", "6")))
     tw = wp
     vwidth = vp.shape[2]
     gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
