@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "enables larger per-chip batches)")
     parser.add_argument("--backbone_ckpt", type=str, default=None,
                         help="torchvision resnet18 .pth/.npz for ImageNet init")
+    parser.add_argument("--load_torch_ckpt", type=str, default=None,
+                        help="reference MultiviewDetector.pth (full model) — convert via "
+                             "mvdetr_tpu.interop and run eval only (`main.py:142-147` interop)")
+    parser.add_argument("--warp_convention", type=str, default=None,
+                        choices=["center", "kornia"],
+                        help="BEV warp sampling convention; default 'center' "
+                             "('kornia' when --load_torch_ckpt is set, for reference parity)")
     parser.add_argument("--data_root", type=str, default=None)
     # synthetic-scene sizing (dataset == synthetic only)
     parser.add_argument("--synthetic_cams", type=int, default=4)
@@ -184,6 +191,8 @@ def main(args=None):
         attn_mode=args.attn_mode, attn_radius=args.attn_radius, n_points=args.n_points,
         remat_backbone=args.remat_backbone,
         mesh=mesh,
+        warp_convention=args.warp_convention
+        or ("kornia" if args.load_torch_ckpt else "center"),
     )
 
     backbone_vars = None
@@ -219,7 +228,17 @@ def main(args=None):
         trainer.check_determinism(batch_size=args.batch_size)
 
     history = {"epoch": [], "train_loss": [], "test_loss": [], "moda": []}
-    if args.resume is None:
+    if args.load_torch_ckpt:
+        from mvdetr_tpu.interop import load_torch_checkpoint
+        from mvdetr_tpu.train import load_full_variables
+
+        print(f"Loading reference torch checkpoint {args.load_torch_ckpt} (eval only)")
+        if args.attn_mode not in ("gather",):
+            print("NOTE: reference checkpoints train with unbounded offsets; "
+                  "--attn_mode gather is reference-exact (slow). The fast paths clamp "
+                  "offsets to --attn_radius — watch the offset_clip_fraction diagnostic.")
+        trainer.state = load_full_variables(trainer.state, load_torch_checkpoint(args.load_torch_ckpt))
+    elif args.resume is None:
         for epoch in range(1, args.epochs + 1):
             print(f"=== epoch {epoch}/{args.epochs} ===")
             train_loss = trainer.train_epoch(epoch, batch_size=args.batch_size)

@@ -159,6 +159,26 @@ class CameraRig:
         out[..., 1] /= H
         return out
 
+    def shadow_reach_cells(self, world_reduce: int = 4, downsample: int = 2) -> tuple:
+        """(median, p95) over BEV cells/cameras of the farthest 8-point shadow
+        reference's distance from the z=0 reference, in downsampled grid cells.
+
+        This is the distance a 4-point model's *learned offsets* must span to
+        aggregate head-height evidence when its reference points all sit at
+        z=0 — i.e. how far the windowed clamp radius is from sufficient.
+        Low cameras stretch shadows: the BENCH_NOTES clamp-stress rig
+        (4 cams at 2 m) measures median ~178 cells vs ~36 for a
+        Wildtrack-like rig (7 cams at 6 m), where radius-4 at 4 points loses
+        2.5 MODA vs ~0 respectively.
+        """
+        ref = self.reference_points(world_reduce=world_reduce, downsample=downsample, n_points=8)
+        h, w = self.Rworld_shape(world_reduce)
+        h, w = h // downsample, w // downsample
+        pts = ref * np.array([w, h])
+        z0 = pts[:, :, 2:4].mean(2, keepdims=True)  # REFERENCE_ZS[8] indices 2,3 are z=0
+        d = np.linalg.norm(pts - z0, axis=-1).max(-1)
+        return float(np.percentile(d, 50)), float(np.percentile(d, 95))
+
     # ---------------------------------------------------------------- caches
     @cached_property
     def _world_from_img_z0(self) -> np.ndarray:

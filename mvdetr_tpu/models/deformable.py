@@ -77,11 +77,30 @@ class MSDeformAttn(nn.Module):
 
     def _bev_shards(self, h: int) -> int:
         """BEV-row shard count, or 1 when inapplicable (no mesh / no ``bev``
-        axis / rows not divisible / shards thinner than the halo)."""
-        if self.mesh is None or self.mode != "windowed":
+        axis / rows not divisible / shards thinner than the halo). A
+        requested-but-unusable ``bev`` axis is reported loudly — a silent
+        fallback would leave ``--bev_shards N`` quietly doing nothing."""
+        if self.mesh is None:
             return 1
         n = int(dict(self.mesh.shape).get("bev", 1))
-        if n <= 1 or h % n != 0 or h // n < self.radius:
+        if n <= 1:
+            return 1
+        from mvdetr_tpu.ops.msda_windowed import log_fallback_once
+
+        if self.mode != "windowed":
+            log_fallback_once(
+                f"bev_shards_mode_{self.mode}",
+                f"mesh has bev={n} but attention mode is '{self.mode}' — BEV-row "
+                f"sharding only applies to 'windowed'; running unsharded",
+            )
+            return 1
+        if h % n != 0 or h // n < self.radius:
+            log_fallback_once(
+                f"bev_shards_{h}_{n}",
+                f"mesh has bev={n} but encoder rows {h} are not divisible into "
+                f">={self.radius}-row shards — running unsharded (pick bev_shards "
+                f"dividing {h})",
+            )
             return 1
         return n
 

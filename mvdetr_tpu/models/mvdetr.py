@@ -47,6 +47,15 @@ class MVDeTr(nn.Module):
     attn_mode: str = "auto"  # deformable sampling: 'auto' | 'gather' | 'windowed' | 'warped'
     attn_radius: int = 4
     remat_backbone: bool = False  # rematerialize backbone blocks (HBM for FLOPs)
+    # BEV-warp sampling convention. 'center' (default): destination cells
+    # sample the source at exact integer-center pixel coords. 'kornia':
+    # reproduce the reference's `kornia.warp_perspective(..,
+    # align_corners=False)` quirk (`mvdetr.py:194`) — kornia normalizes pixel
+    # coords corner-aligned by (W-1) but grid-samples edge-aligned by W, so
+    # the effective source coordinate is x*W/(W-1) - 0.5. Needed for
+    # bit-faithful eval of converted reference checkpoints (interop.py); the
+    # correction folds into the 3x3 projection, costing nothing.
+    warp_convention: str = "center"
     # Optional jax.sharding.Mesh: states the SPMD strategy explicitly — the
     # per-view stack is constrained to P(('data','view')) so backbone + warp
     # stay shard-local, and the warped BEV stack to P('data','view') so the
@@ -70,6 +79,7 @@ class MVDeTr(nn.Module):
         attn_radius: int = 4,
         remat_backbone: bool = False,
         mesh=None,
+        warp_convention: str = "center",
     ) -> "MVDeTr":
         """Build from a :class:`CameraRig`, deriving projection matrices and
         reference maps (`mvdetr.py:82-95,129-130`)."""
@@ -77,6 +87,25 @@ class MVDeTr(nn.Module):
         if world_feat_arch == "deform_trans":
             ref = rig.reference_points(world_reduce=world_reduce, downsample=2, n_points=n_points)
             ref = np.tile(ref, (rig.num_cam, 1, 1, 1))  # queries repeated per camera
+            if n_points == 4 and attn_mode != "gather":
+                # geometry-aware clamp-safety check (BENCH_NOTES clamp-stress
+                # table): on long-shadow rigs the windowed radius starves
+                # 4-point attention; 8-point shadow refs absorb the reach on
+                # the same Pallas fast path.
+                med, p95 = rig.shadow_reach_cells(world_reduce=world_reduce, downsample=2)
+                if med > max(15 * attn_radius, 60):
+                    import warnings
+
+                    msg = (
+                        f"rig '{rig.name}': median shadow reach {med:.0f} cells "
+                        f"(p95 {p95:.0f}) far exceeds the windowed attention radius "
+                        f"{attn_radius} at n_points=4 — long-shadow (low-camera) rigs "
+                        f"lose accuracy under the clamp. Use --n_points 8 (shadow "
+                        f"reference maps, same fast path) or --attn_mode gather; "
+                        f"watch the offset_clip_fraction train log."
+                    )
+                    warnings.warn(msg)
+                    print(f"WARNING: {msg}")
         return cls(
             num_cam=rig.num_cam,
             Rworld_shape=rig.Rworld_shape(world_reduce),
@@ -94,6 +123,7 @@ class MVDeTr(nn.Module):
             attn_radius=attn_radius,
             remat_backbone=remat_backbone,
             mesh=mesh,
+            warp_convention=warp_convention,
         )
 
     @nn.compact
@@ -143,6 +173,22 @@ class MVDeTr(nn.Module):
         full_proj = jnp.einsum(
             "sij,sjk,kl->sil", jnp.tile(proj, (b, 1, 1)), inv_aff, reduce_mat
         )  # [B*N, 3, 3] feature px -> BEV cell
+        if self.warp_convention == "kornia":
+            # fold the kornia align_corners=False resampling quirk (see class
+            # docstring) into the homography: x' = x*W/(W-1) - 0.5 on the
+            # source side, so mats' = mats @ inv(S)
+            hf, wf = feat.shape[1], feat.shape[2]
+            inv_s = jnp.asarray(
+                [
+                    [(wf - 1) / wf, 0.0, 0.5 * (wf - 1) / wf],
+                    [0.0, (hf - 1) / hf, 0.5 * (hf - 1) / hf],
+                    [0.0, 0.0, 1.0],
+                ],
+                dtype=jnp.float32,
+            )
+            full_proj = full_proj @ inv_s
+        elif self.warp_convention != "center":
+            raise ValueError(f"unknown warp_convention: {self.warp_convention}")
 
         world_in = perspective_warp(feat, full_proj, self.Rworld_shape)
         c = world_in.shape[-1]

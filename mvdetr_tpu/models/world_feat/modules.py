@@ -50,8 +50,10 @@ class ConvWorldFeat(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         b, n, h, w, c = x.shape
-        y = nn.Conv(self.hidden_dim, (3, 3), strides=(self.stride,) * 2, dtype=self.dtype,
-                    name="downsample")(x.reshape(b * n, h, w, c))
+        # explicit (1, 1) padding: torch Conv2d(3, stride, 1) parity — Flax
+        # 'SAME' would pad (0, 1) at stride 2, a one-pixel shift
+        y = nn.Conv(self.hidden_dim, (3, 3), strides=(self.stride,) * 2, padding=[(1, 1)] * 2,
+                    dtype=self.dtype, name="downsample")(x.reshape(b * n, h, w, c))
         y = nn.relu(y)
         hs, ws = y.shape[1:3]
         if self.reduction is None:
@@ -87,8 +89,10 @@ class TransformerWorldFeat(nn.Module):
     def __call__(self, x, train: bool = True):
         b, n, h, w, c = x.shape
         y = jnp.moveaxis(x, 1, 3).reshape(b, h, w, n * c)
-        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), strides=(2, 2), dtype=self.dtype, name="down0")(y))
-        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), strides=(2, 2), dtype=self.dtype, name="down1")(y))
+        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+                            dtype=self.dtype, name="down0")(y))
+        y = nn.relu(nn.Conv(self.hidden_dim, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+                            dtype=self.dtype, name="down1")(y))
         hs, ws = y.shape[1:3]
         pos = jnp.asarray(sine_pos_embedding((hs, ws), self.hidden_dim // 2),
                           dtype=y.dtype).reshape(1, hs * ws, self.hidden_dim)
@@ -148,8 +152,8 @@ class DeformTransWorldFeat(nn.Module):
     def __call__(self, x, train: bool = True):
         b, n, h, w, c = x.shape
         y = nn.Conv(
-            self.hidden_dim, (3, 3), strides=(self.stride,) * 2, kernel_init=xavier_uniform,
-            dtype=self.dtype, name="downsample"
+            self.hidden_dim, (3, 3), strides=(self.stride,) * 2, padding=[(1, 1)] * 2,
+            kernel_init=xavier_uniform, dtype=self.dtype, name="downsample"
         )(x.reshape(b * n, h, w, c))
         y = nn.relu(y)
         hs, ws = y.shape[1:3]

@@ -1,6 +1,6 @@
 from mvdetr_tpu.train.checkpoint import latest_step, restore_checkpoint, restore_weights, save_checkpoint
 from mvdetr_tpu.train.optim import build_optimizer, onecycle_b1_schedule, onecycle_lr_schedule
-from mvdetr_tpu.train.state import TrainState, create_train_state
+from mvdetr_tpu.train.state import TrainState, create_train_state, load_full_variables
 from mvdetr_tpu.train.trainer import Trainer, eval_step, supervised_loss, train_step
 
 __all__ = [
@@ -8,6 +8,7 @@ __all__ = [
     "Trainer",
     "build_optimizer",
     "create_train_state",
+    "load_full_variables",
     "eval_step",
     "latest_step",
     "onecycle_b1_schedule",

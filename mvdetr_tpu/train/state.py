@@ -54,6 +54,17 @@ def create_train_state(
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)
 
 
+def load_full_variables(state: TrainState, variables: dict) -> TrainState:
+    """Replace the full parameter/batch-stat trees with converted weights
+    (e.g. a reference ``MultiviewDetector.pth`` via :mod:`mvdetr_tpu.interop`),
+    shape-checked against the initialized model."""
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    _check_tree_match(state.params, params, "params")
+    stats = jax.tree.map(jnp.asarray, variables.get("batch_stats", {}))
+    _check_tree_match(state.batch_stats or {}, stats, "batch_stats")
+    return state.replace(params=params, batch_stats=stats)
+
+
 def _check_tree_match(init_tree, loaded_tree, where: str) -> None:
     """Converted pretrained trees must match the initialized structure and
     shapes exactly — a silent mismatch would train from garbage."""

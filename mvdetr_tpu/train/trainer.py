@@ -240,6 +240,15 @@ class Trainer:
                      "no trace was written (the window starts at batch 2)")
         total = float(jnp.sum(jnp.stack(losses_dev))) if losses_dev else 0.0
         self.log(f"Train epoch {epoch} done: loss {total / max(count, 1):.6f}, t {time.time() - t0:.1f}s")
+        if count and "offset_clip_fraction" in aux:
+            clip_frac = float(aux["offset_clip_fraction"])
+            if clip_frac > 0.05:
+                self.log(
+                    f"WARNING: offset_clip_fraction {clip_frac:.3f} > 0.05 — the windowed "
+                    f"attention clamp is starving learned offsets (accuracy risk, see "
+                    f"BENCH_NOTES clamp table). Raise --n_points to 8 (shadow refs, same "
+                    f"fast path), or widen --attn_radius."
+                )
         return total / max(count, 1)
 
     def test(self, batch_size: int = 1, res_fpath: Optional[str] = None,

@@ -11,7 +11,14 @@ K or N = L*M = 56 (<128 lanes, 44% utilization):
 Each variant runs the op `win`^2=81 times inside one Pallas kernel (matching
 the shift loop) over a [T, .] tile so relayout costs show at realistic scale.
 
-Usage: python scripts/exp_vpu_broadcast.py
+Usage: python scripts/exp_vpu_broadcast.py          # all variants, each in a
+                                                    # timeout-guarded subprocess
+       python scripts/exp_vpu_broadcast.py <name>   # one variant inline
+
+Some variants (pltpu.repeat / broadcast on sub-128-lane shapes) are known to
+HANG the Mosaic compiler for >10 min (see BENCH_NOTES) — the parent process
+runs each variant in a subprocess with a deadline so a hang prints TIMEOUT
+instead of blocking forever.
 """
 
 import functools
@@ -62,7 +69,7 @@ def _bench(name, kernel_fn, inputs, out_shape, iters=30):
     print(f"{name:28s}: {ms:8.3f} ms  ({ms / REPS * 1000:6.1f} us/rep)")
 
 
-def main():
+def main(only: str | None = None):
     rng = np.random.default_rng(0)
     cwlm = jnp.asarray(rng.standard_normal((T, LM)), jnp.float32)
     dlk = jnp.asarray(rng.standard_normal((T, LK)), jnp.float32)
@@ -102,11 +109,17 @@ def main():
         o_ref[...] = acc.reshape(T, LK)
 
     out_f32 = jax.ShapeDtypeStruct((T, LK), jnp.float32)
-    print(f"== broadcast [T={T},{LM}] -> [T,{LK}] x{REPS} ==")
-    _bench("E matmul (baseline)", k_matmul, (cwlm, e_mat, vwin), out_f32)
-    _bench("pltpu.repeat", k_repeat, (cwlm, vwin), out_f32)
-    _bench("jnp.repeat", k_jnp_repeat, (cwlm, vwin), out_f32)
-    _bench("broadcast_in_dim 3d", k_bcast3d, (cwlm, vwin), out_f32)
+    if only is None:
+        print(f"== broadcast [T={T},{LM}] -> [T,{LK}] x{REPS} ==")
+    bcast = {
+        "matmul": ("E matmul (baseline)", k_matmul, (cwlm, e_mat, vwin), out_f32),
+        "repeat": ("pltpu.repeat", k_repeat, (cwlm, vwin), out_f32),
+        "jnp_repeat": ("jnp.repeat", k_jnp_repeat, (cwlm, vwin), out_f32),
+        "bcast3d": ("broadcast_in_dim 3d", k_bcast3d, (cwlm, vwin), out_f32),
+    }
+    for key, spec in bcast.items():
+        if only in (None, key):
+            _bench(*spec)
 
     # ---- reduce variants: [T, LK] -> [T, LM]
     def r_matmul(x_ref, et_ref, o_ref):
@@ -123,10 +136,35 @@ def main():
         o_ref[...] = acc
 
     out_lm = jax.ShapeDtypeStruct((T, LM), jnp.float32)
-    print(f"== reduce [T={T},{LK}] -> [T,{LM}] x{REPS} ==")
-    _bench("E^T matmul (baseline)", r_matmul, (dlk, et_mat), out_lm)
-    _bench("reshape+sum axis=-1", r_reshape_sum, (dlk,), out_lm)
+    if only is None:
+        print(f"== reduce [T={T},{LK}] -> [T,{LM}] x{REPS} ==")
+    reduce = {
+        "r_matmul": ("E^T matmul (baseline)", r_matmul, (dlk, et_mat), out_lm),
+        "r_reshape_sum": ("reshape+sum axis=-1", r_reshape_sum, (dlk,), out_lm),
+    }
+    for key, spec in reduce.items():
+        if only in (None, key):
+            _bench(*spec)
+    return list(bcast) + list(reduce)
+
+
+ALL_VARIANTS = ["matmul", "repeat", "jnp_repeat", "bcast3d", "r_matmul", "r_reshape_sum"]
+
+
+def _run_all_guarded(deadline_s: int = 600):
+    """Each variant in its own subprocess: a Mosaic compile hang becomes a
+    TIMEOUT line instead of blocking the script indefinitely."""
+    import subprocess
+
+    for name in ALL_VARIANTS:
+        try:
+            subprocess.run([sys.executable, os.path.abspath(__file__), name], timeout=deadline_s)
+        except subprocess.TimeoutExpired:
+            print(f"{name:28s}: TIMEOUT (> {deadline_s}s — compiler hang, see BENCH_NOTES)")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        main(sys.argv[1])
+    else:
+        _run_all_guarded()

@@ -10,36 +10,15 @@ import os
 import numpy as np
 import pytest
 
-from mvdetr_tpu.data.adapters import WildtrackScene, _read_opencv_matrix, _read_vector_node
+from mvdetr_tpu.data.adapters import MultiviewXScene, WildtrackScene, _read_opencv_matrix, _read_vector_node
 from mvdetr_tpu.geometry import make_synthetic_rig, project_points
-
-
-def _opencv_matrix_xml(name, mat):
-    rows, cols = mat.shape
-    data = " ".join(f"{v:.17g}" for v in mat.reshape(-1))
-    return (
-        f'<?xml version="1.0"?>\n<opencv_storage>\n<{name} type_id="opencv-matrix">\n'
-        f"  <rows>{rows}</rows>\n  <cols>{cols}</cols>\n  <dt>d</dt>\n"
-        f"  <data>\n    {data}</data></{name}>\n</opencv_storage>\n"
-    )
-
-
-def _rvec_tvec_xml(rvec, tvec):
-    rtxt = " ".join(f"{v:.17g}" for v in rvec)
-    ttxt = " ".join(f"{v:.17g}" for v in tvec)
-    return (
-        '<?xml version="1.0"?>\n<opencv_storage>\n'
-        f"<rvec>{rtxt}</rvec>\n<tvec>{ttxt}</tvec>\n</opencv_storage>\n"
-    )
-
-
-def _rotation_to_rvec(R):
-    """Inverse Rodrigues (angle-axis from rotation matrix)."""
-    angle = np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
-    if angle < 1e-9:
-        return np.zeros(3)
-    axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]) / (2 * np.sin(angle))
-    return axis * angle
+from tests._fixture_trees import (
+    multiviewx_like_scene,
+    opencv_matrix_xml as _opencv_matrix_xml,
+    rotation_to_rvec as _rotation_to_rvec,
+    rvec_tvec_xml_raw as _rvec_tvec_xml,
+    write_multiviewx_tree,
+)
 
 
 @pytest.fixture(scope="module")
@@ -112,3 +91,29 @@ def test_wildtrack_scene_roundtrip(fake_wildtrack):
         np.testing.assert_allclose(ann.bboxes[c], [[10 * c, 20, 10 * c + 40, 120]])
     for c in range(3, 7):
         assert len(ann.bboxes[c]) == 0
+
+
+def test_multiviewx_scene_roundtrip(tmp_path):
+    """MultiviewX-format tree (FileStorage rvec/tvec mats, `MultiviewX.py:79-98`)
+    written from a synthetic scene and loaded back through the adapter."""
+    scene = multiviewx_like_scene(num_frame=3, num_person=5, img_shape=(270, 480))
+    root = tmp_path / "MultiviewX"
+    write_multiviewx_tree(str(root), scene, with_images=False)
+
+    loaded = MultiviewXScene(str(root))
+    assert loaded.rig.num_cam == 6
+    assert loaded.rig.indexing == "xy"
+    assert loaded.rig.worldcoord_unit == 1.0
+    pts = np.array([[0.0, 0.0], [5.0, -3.0]])
+    for cam in range(6):
+        a = project_points(loaded.rig.imgcoord_from_worldcoord_mat(cam), pts)
+        b = project_points(scene.rig.imgcoord_from_worldcoord_mat(cam), pts)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    assert loaded.frames() == [0, 1, 2]
+    ann = loaded.annotation(0)
+    want = scene.annotation(0)
+    np.testing.assert_array_equal(ann.world_pts, np.round(want.world_pts))
+    np.testing.assert_array_equal(ann.pids, want.pids)
+    for cam in range(6):
+        assert len(ann.bboxes[cam]) == len(want.bboxes[cam])

@@ -39,6 +39,31 @@ def test_world_feat_variants(arch, tiny_rig):
     assert y.shape == (1, hw[0], hw[1], 32)
 
 
+def test_long_shadow_rig_warns_at_4_points():
+    """Geometry-aware clamp-safety check (BENCH_NOTES clamp-stress table): the
+    low-camera long-shadow rig must trigger the n_points=8 recommendation;
+    flagship-like rigs must not."""
+    from mvdetr_tpu.geometry import make_synthetic_rig
+
+    stress = make_synthetic_rig(
+        num_cam=4, img_shape=(96, 160), worldgrid_shape=(48, 96),
+        camera_height_m=2.0, camera_margin_m=1.0, name="Stress",
+    )
+    with pytest.warns(UserWarning, match="n_points 8"):
+        MVDeTr.from_rig(stress, world_reduce=2, world_feat_arch="deform_trans", n_points=4)
+
+    import warnings as _w
+
+    ok = make_synthetic_rig(num_cam=4, img_shape=(180, 320), worldgrid_shape=(120, 240))
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        MVDeTr.from_rig(ok, world_reduce=4, world_feat_arch="deform_trans", n_points=4)
+        # 8-point and gather configs are clamp-safe by construction on any rig
+        MVDeTr.from_rig(stress, world_reduce=2, world_feat_arch="deform_trans", n_points=8)
+        MVDeTr.from_rig(stress, world_reduce=2, world_feat_arch="deform_trans",
+                        n_points=4, attn_mode="gather")
+
+
 def test_radial_offset_bias_matches_torch_formula():
     torch = pytest.importorskip("torch")
     import math
