@@ -179,8 +179,10 @@ class Trainer:
         if self.mesh is not None and jax.process_count() > 1:
             from mvdetr_tpu.parallel import global_batch_from_local, process_batch_slice
 
-            local_slice = process_batch_slice(batch_size)
-            put = lambda b: global_batch_from_local(b, self.mesh)
+            local_slice = process_batch_slice(batch_size, self.mesh)
+            put = lambda b: global_batch_from_local(
+                b, self.mesh, frame_offset=local_slice.start, global_batch=batch_size
+            )
         it = self.train_set.batches(batch_size, num_workers=self.num_workers, local_slice=local_slice)
         return prefetch_to_device(it, size=self.prefetch, shardings=self._batch_shardings, put=put)
 
@@ -299,30 +301,36 @@ class Trainer:
 
             frames_order = [int(f) for f in self.test_set.frames]
             n_full = len(frames_order) // batch_size
+            local_slice = process_batch_slice(batch_size, self.mesh)
             it = self.test_set.batches(
                 batch_size, shuffle=False, drop_last=True,
-                num_workers=self.num_workers, local_slice=process_batch_slice(batch_size),
+                num_workers=self.num_workers, local_slice=local_slice,
             )
-            put = lambda b: global_batch_from_local(b, self.mesh)
+            put = lambda b: global_batch_from_local(
+                b, self.mesh, frame_offset=local_slice.start, global_batch=batch_size
+            )
             for bi, batch in enumerate(prefetch_to_device(it, size=self.prefetch, put=put)):
                 aux, xys, keep = self._sharded_eval(self.state, batch)
                 total += float(aux["loss"])
                 count += 1
                 emit(xys, keep, frames_order[bi * batch_size : (bi + 1) * batch_size])
-            # ragged tail: every host evaluates the same local batch unsharded
+            # ragged tail: pad with repeats of the last frame up to a full
+            # batch and run the SAME sharded eval step (no duplicated
+            # per-host work, no second jit variant); padded rows are dropped
+            # at emit. Loss averaging uses the true tail fraction.
             tail_idx = list(range(n_full * batch_size, len(frames_order)))
             if tail_idx:
                 from mvdetr_tpu.data.dataset import collate
 
-                host_state = jax.device_get(self.state)
-                batch = jax.device_put(collate([self.test_set[i] for i in tail_idx]))
-                aux, xys, keep = eval_step(
-                    host_state, batch, world_reduce=self.test_set.world_reduce,
-                    num_candidates=self.nms_top_k, alpha=self.alpha, use_mse=self.use_mse,
-                )
-                total += float(aux["loss"])
-                count += 1
-                emit(xys, keep, [frames_order[i] for i in tail_idx])
+                padded = tail_idx + [tail_idx[-1]] * (batch_size - len(tail_idx))
+                local_idx = padded[local_slice]
+                batch = put(collate([self.test_set[i] for i in local_idx]))
+                aux, xys, keep = self._sharded_eval(self.state, batch)
+                frac = len(tail_idx) / batch_size
+                total += float(aux["loss"]) * frac
+                count += frac
+                emit(xys[: len(tail_idx)], keep[: len(tail_idx)],
+                     [frames_order[i] for i in tail_idx])
         else:
             host_batches = self.test_set.batches(
                 batch_size, shuffle=False, drop_last=False, num_workers=self.num_workers

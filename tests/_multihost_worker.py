@@ -2,9 +2,13 @@
 
 Runs one tiny flagship train epoch + the CLEAR test loop under a global mesh
 spanning all processes, and prints a RESULT json line. Launched as
-``python tests/_multihost_worker.py <port> <num_processes> <process_id>``;
-with num_processes=1 it is the single-process reference run of the same
-global computation.
+``python tests/_multihost_worker.py <port> <num_processes> <process_id>
+[axis]`` where ``axis`` picks which mesh axis spans the processes:
+``data`` (default — frames split per host), ``view`` (cameras split; each
+host loads full batches, the backbone/warp run on its camera shard, the
+encoder all-gathers values over the process boundary), or ``bev`` (BEV rows
+split; halo-exchange attention across processes). With num_processes=1 it is
+the single-process reference run of the same global computation.
 """
 
 import json
@@ -16,6 +20,7 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 port, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+axis = sys.argv[4] if len(sys.argv) > 4 else "data"
 
 import jax  # noqa: E402
 
@@ -41,9 +46,17 @@ common = dict(world_reduce=2, img_reduce=12, top_k=8)
 train_set = FrameDataset(scene, train=True, augmentation=True, **common)
 test_set = FrameDataset(scene, train=False, **common)  # 3 frames: 1 full batch + ragged tail
 
-mesh = make_mesh(num_view_shards=1)  # data axis = global device count
+n_dev = nproc  # one device per process
+mesh = make_mesh(
+    num_view_shards=n_dev if axis == "view" else 1,
+    num_bev_shards=n_dev if axis == "bev" else 1,
+)  # remaining devices land on the data axis
+# bev sharding requires the windowed mode explicitly (auto also resolves to
+# windowed here — identity refs); Rworld 16x32 -> encoder rows 8 -> shards of
+# 4 rows >= radius 4
+attn = "windowed" if axis == "bev" else "auto"
 model = MVDeTr.from_rig(rig, world_reduce=2, img_reduce=12, world_feat_arch="deform_trans",
-                        bottleneck_dim=32, mesh=mesh)
+                        bottleneck_dim=32, mesh=mesh, attn_mode=attn)
 sample = next(train_set.batches(batch_size=1, shuffle=False))
 state = create_train_state(model, sample, lr=1e-3, total_steps=20)
 

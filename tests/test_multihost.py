@@ -28,12 +28,12 @@ def _free_port() -> int:
     return port
 
 
-def _run(nproc: int, timeout: int = 900):
+def _run(nproc: int, timeout: int = 900, axis: str = "data"):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(nproc), str(i)],
+            [sys.executable, WORKER, str(port), str(nproc), str(i), axis],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for i in range(nproc)
@@ -63,5 +63,22 @@ def test_two_process_train_and_eval_matches_single_process():
     np.testing.assert_allclose(two[0]["first_loss"], one[0]["first_loss"], rtol=1e-5)
     # ...while a full epoch (13 Adam steps) accumulates benign drift from the
     # cross-device f32 reduction order — only closeness is meaningful there
+    np.testing.assert_allclose(two[0]["train_loss"], one[0]["train_loss"], rtol=3e-2)
+    np.testing.assert_allclose(two[0]["test_loss"], one[0]["test_loss"], rtol=3e-2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("axis", ["view", "bev"])
+def test_two_process_nondata_axes(axis):
+    """The view- and bev-sharded mesh configs across a REAL process boundary:
+    2 processes, cameras (or BEV rows) split between them — each host loads
+    full batches, the collectives (value all-gather / halo ppermute) cross
+    gloo. One pristine-state global step must match the single-process run."""
+    two = _run(2, axis=axis)
+    one = _run(1, axis=axis)
+
+    assert two[0]["first_loss"] == two[1]["first_loss"]
+    assert two[0]["moda"] == two[1]["moda"]
+    np.testing.assert_allclose(two[0]["first_loss"], one[0]["first_loss"], rtol=1e-5)
     np.testing.assert_allclose(two[0]["train_loss"], one[0]["train_loss"], rtol=3e-2)
     np.testing.assert_allclose(two[0]["test_loss"], one[0]["test_loss"], rtol=3e-2)
