@@ -53,14 +53,18 @@ def vmem_limit_bytes(fraction: float = 0.78) -> int:
 
 
 def _select_matrices(m: int, l: int, p: int, d: int):
-    """S: [PLM, LM] p-sum (channel order (p,l,m) -> (l,m));
-    E: [LM, L*M*D] block expansion ((l,m) -> (l,(m,d)))."""
+    """S: [PLM, LM] p-sum, reading the NATURAL (m, l, p) channel order of a
+    flattened ``[..., M, L, P]`` tensor -> (l, m); E: [LM, L*M*D] block
+    expansion ((l, m) -> (l, (m, d))). Folding the channel permutation into S
+    lets prep ship offsets/weights with a free reshape instead of a
+    [B,C,H,W,M,L,P] transpose pass (and the backward emit grads in natural
+    order) — that transpose tail measured ~32 ms/step at flagship scale."""
     plm, lm = p * l * m, l * m
     s = np.zeros((plm, lm), dtype=np.float32)
     for pi in range(p):
         for li in range(l):
             for mi in range(m):
-                s[pi * lm + li * m + mi, li * m + mi] = 1.0
+                s[mi * l * p + li * p + pi, li * m + mi] = 1.0
     e = np.zeros((lm, l * m * d), dtype=np.float32)
     for li in range(l):
         for mi in range(m):
@@ -149,6 +153,20 @@ def _pick_tile(n: int, target: int) -> int:
     return n
 
 
+def _env_tile(var: str, default: int) -> int:
+    """Row-tile override knob. Read at TRACE time only — set it before the
+    first jit of the kernel; changing it later has no effect on warm caches.
+    Non-integer values fall back to the default with a warning."""
+    raw = os.environ.get(var, str(default))
+    try:
+        return int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(f"{var}={raw!r} is not an int; using default {default}")
+        return default
+
+
 def prep_inputs(value, offsets, weights, radius: int, kernel_dtype=jnp.bfloat16,
                 row_halo: bool = False):
     """Shared fwd/bwd kernel-input staging (done ONCE per attention call; the
@@ -158,8 +176,9 @@ def prep_inputs(value, offsets, weights, radius: int, kernel_dtype=jnp.bfloat16,
     - ``vp``: value [B, L, Hv, W, M, D] -> channel-fused [B, Hv(+halo),
       Wpad, L*K] in the kernel dtype,
     - ``ox/oy/wg``: [B, C, H, W, M, L, P] -> width-padded [B, C, H, Wp, PLM]
-      f32 in (p, l, m) channel order. Offsets stay RAW — both kernels clamp
-      (and mask, in the backward) in-kernel.
+      f32 in the natural (m, l, p) channel order — a free reshape; the
+      permutation to (l, m) lives inside the constant S matrix. Offsets stay
+      RAW — both kernels clamp (and mask, in the backward) in-kernel.
     """
     b, l, hv, w, m, d = value.shape
     h = hv - 2 * radius if row_halo else hv
@@ -176,8 +195,8 @@ def prep_inputs(value, offsets, weights, radius: int, kernel_dtype=jnp.bfloat16,
         vfused, ((0, 0), ypad, (radius, vwidth - w - radius), (0, 0))
     ).astype(kernel_dtype)
 
-    def prep(x):  # channel order (p, l, m)
-        x = jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4)).reshape(b, c, h, w, plm).astype(jnp.float32)
+    def prep(x):  # natural (m, l, p) channel order — contiguous flatten
+        x = x.reshape(b, c, h, w, plm).astype(jnp.float32)
         return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
 
     return vp, prep(offsets[..., 0]), prep(offsets[..., 1]), prep(weights)
@@ -219,7 +238,7 @@ def msda_windowed_pallas_prepped(
     k = m * d
     if k % 128 != 0:
         raise ValueError(f"pallas windowed kernel needs M*D % 128 == 0, got {k}")
-    th = _pick_tile(h, int(os.environ.get("MVDETR_MSDA_TH_FWD", "12")))
+    th = _pick_tile(h, _env_tile("MVDETR_MSDA_TH_FWD", 12))
     tw = wp
     vwidth = vp.shape[2]
 

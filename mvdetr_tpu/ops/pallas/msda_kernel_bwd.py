@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mvdetr_tpu.ops.pallas.msda_kernel import (
-    _pick_tile, _select_matrices, prep_inputs, vmem_limit_bytes,
+    _env_tile, _pick_tile, _select_matrices, prep_inputs, vmem_limit_bytes,
 )
 
 
@@ -183,7 +183,7 @@ def msda_windowed_pallas_bwd_prepped(
         out_dtypes = (vp.dtype, jnp.float32, jnp.float32)
 
     # smaller default than fwd: grad outputs + gv slab share VMEM
-    th = _pick_tile(h, int(os.environ.get("MVDETR_MSDA_TH_BWD", "6")))
+    th = _pick_tile(h, _env_tile("MVDETR_MSDA_TH_BWD", 6))
     tw = wp
     vwidth = vp.shape[2]
     gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)))
@@ -239,9 +239,9 @@ def msda_windowed_pallas_bwd_prepped(
         gv = gv[:, radius : radius + h]
     g_value = jnp.moveaxis(gv.reshape(b, hv, w, l, k), 3, 1).reshape(b, l, hv, w, m, d).astype(out_dtypes[0])
 
-    def unprep(x):  # [B, C, H, Wp, PLM] -> [B, C, H, W, M, L, P]
-        x = x[:, :, :, :w, :].reshape(b, c, h, w, p, l, m)
-        return jnp.transpose(x, (0, 1, 2, 3, 6, 5, 4))
+    def unprep(x):  # [B, C, H, Wp, PLM] -> [B, C, H, W, M, L, P] (natural
+        # (m, l, p) channel order throughout — no transpose pass)
+        return x[:, :, :, :w, :].reshape(b, c, h, w, m, l, p)
 
     g_off = jnp.stack([unprep(go[..., :plm]), unprep(go[..., plm : 2 * plm])], axis=-1)
     g_wgt = unprep(go[..., 2 * plm :]).astype(out_dtypes[2])
