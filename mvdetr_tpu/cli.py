@@ -237,7 +237,22 @@ def main(args=None):
             print("NOTE: reference checkpoints train with unbounded offsets; "
                   "--attn_mode gather is reference-exact (slow). The fast paths clamp "
                   "offsets to --attn_radius — watch the offset_clip_fraction diagnostic.")
-        trainer.state = load_full_variables(trainer.state, load_torch_checkpoint(args.load_torch_ckpt))
+        variables, ckpt_cfg = load_torch_checkpoint(args.load_torch_ckpt, with_config=True)
+        flag_cfg = {"arch": args.arch, "world_feat_arch": args.world_feat,
+                    "bottleneck_dim": args.bottleneck_dim, "outfeat_dim": args.outfeat_dim,
+                    "n_points": args.n_points}
+        mismatched = {k: (flag_cfg[k], v) for k, v in ckpt_cfg.items()
+                      if k in flag_cfg and flag_cfg[k] != v}
+        if mismatched:
+            flags = {"arch": "--arch", "world_feat_arch": "--world_feat",
+                     "bottleneck_dim": "--bottleneck_dim", "outfeat_dim": "--outfeat_dim",
+                     "n_points": "--n_points"}
+            hint = " ".join(f"{flags[k]} {v}" for k, (_, v) in mismatched.items())
+            raise SystemExit(
+                f"checkpoint config mismatch {mismatched} (flag value, checkpoint value); "
+                f"rerun with: {hint}"
+            )
+        trainer.state = load_full_variables(trainer.state, variables)
     elif args.resume is None:
         for epoch in range(1, args.epochs + 1):
             print(f"=== epoch {epoch}/{args.epochs} ===")

@@ -283,12 +283,14 @@ def convert_reference_state_dict(state_dict, nhead: int = 8, strict: bool = True
     return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
-def load_torch_checkpoint(path: str, strict: bool = True) -> dict:
+def load_torch_checkpoint(path: str, strict: bool = True, with_config: bool = False):
     """Load ``MultiviewDetector.pth`` (torch) and convert. Returns
-    ``{"params": ..., "batch_stats": ...}``."""
+    ``{"params": ..., "batch_stats": ...}`` (plus the detected reference
+    config when ``with_config``)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd and not any(hasattr(v, "shape") for v in sd.values()):
         sd = sd["state_dict"]
-    return convert_reference_state_dict(sd, strict=strict)
+    out = convert_reference_state_dict(sd, strict=strict)
+    return (out, detect_reference_config(sd)) if with_config else out

@@ -30,20 +30,21 @@ from mvdetr_tpu.models import MVDeTr
 from mvdetr_tpu.train import Trainer, create_train_state
 
 
-def run(lr=8e-4, epochs=15, n_points=4, seed=5, batch_size=2, cls_thres=0.4,
-        kernel=4.0, base_lr_ratio=1.0, augmentation=True, quiet=False):
+def run(lr=8e-4, epochs=15, n_points=4, seed=5, batch_size=2, cls_thres=0.35,
+        kernel=4.0, base_lr_ratio=1.0, augmentation=True, quiet=False,
+        num_person=24, bottleneck=128):
     rig = make_synthetic_rig(
         num_cam=6, img_shape=(144, 256), worldgrid_shape=(64, 128),
         camera_height_m=3.5, camera_margin_m=2.0, name="HardBench",
     )
-    scene = SyntheticScene(rig, num_frame=60, num_person=24, seed=seed)
+    scene = SyntheticScene(rig, num_frame=60, num_person=num_person, seed=seed)
     kw = dict(world_reduce=2, img_reduce=12, top_k=48,
               world_kernel_size=kernel, img_kernel_size=kernel)
     train_set = FrameDataset(scene, train=True, augmentation=augmentation, **kw)
     test_set = FrameDataset(scene, train=False, **kw)
 
     model = MVDeTr.from_rig(rig, world_reduce=2, img_reduce=12,
-                            world_feat_arch="deform_trans", bottleneck_dim=64,
+                            world_feat_arch="deform_trans", bottleneck_dim=bottleneck,
                             n_points=n_points)
     batch = next(train_set.batches(batch_size=batch_size))
     steps = (len(train_set) // batch_size) * epochs
@@ -72,13 +73,17 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--n_points", type=int, default=4)
     p.add_argument("--floor", type=float, default=90.0)
+    p.add_argument("--cls_thres", type=float, default=0.35)
+    p.add_argument("--num_person", type=int, default=24)
     args = p.parse_args()
 
     if args.sweep:
-        for lr in (5e-4, 8e-4, 1.2e-3, 2e-3):
-            run(lr=lr, epochs=args.epochs, n_points=args.n_points, quiet=True)
+        for lr in (8e-4, 1.2e-3):
+            run(lr=lr, epochs=args.epochs, n_points=args.n_points, quiet=True,
+                cls_thres=args.cls_thres, num_person=args.num_person)
     else:
-        moda = run(lr=args.lr, epochs=args.epochs, n_points=args.n_points, quiet=True)
+        moda = run(lr=args.lr, epochs=args.epochs, n_points=args.n_points, quiet=True,
+                   cls_thres=args.cls_thres, num_person=args.num_person)
         if moda < args.floor:
             print(f"REGRESSION: moda {moda:.1f} < floor {args.floor}")
             sys.exit(1)

@@ -180,6 +180,17 @@ def test_cli_load_torch_ckpt_eval(ref_mvdetr, rig, tmp_path, monkeypatch):
     logdirs = list((tmp_path / "logs" / "synthetic").iterdir())
     assert (logdirs[0] / "test.txt").exists()
 
+    # config mismatch between flags and checkpoint fails fast with the
+    # corrective flags in the message, instead of a deep shape error
+    with pytest.raises(SystemExit, match="--outfeat_dim 0"):
+        main([
+            "-d", "synthetic", "--synthetic_cams", "2", "--synthetic_frames", "6",
+            "--synthetic_img", "48", "96", "--synthetic_grid", "32", "64",
+            "--world_reduce", "2", "--img_reduce", "8", "--epochs", "1",
+            "--attn_mode", "gather", "--outfeat_dim", "32",
+            "--load_torch_ckpt", str(ckpt),
+        ])
+
 
 def test_kornia_shim_matches_center_convention_modulo_quirk():
     """Sanity-pin the kornia warp shim against this repo's center-convention
