@@ -10,7 +10,7 @@ accuracy.
 Run the pinned recipe:      python scripts/hard_benchmark.py
 Sweep learning rates:       python scripts/hard_benchmark.py --sweep
 The pinned recipe doubles as the slow TPU-side accuracy regression: exit
-status is nonzero if MODA < --floor (default 90).
+status is nonzero if MODA < --floor (default 88; measured band 89.6-91.0).
 """
 
 import argparse
@@ -33,17 +33,22 @@ from mvdetr_tpu.train import Trainer, create_train_state
 def run(lr=8e-4, epochs=15, n_points=4, seed=5, batch_size=2, cls_thres=0.35,
         kernel=4.0, base_lr_ratio=1.0, augmentation=True, quiet=False,
         num_person=24, bottleneck=128):
+    # Scene scale matters: the 0.5 m NMS radius and CLEAR match threshold are
+    # 20 full-grid cells (2.5 cm cells). People must be spaced plausibly in
+    # METERS or greedy NMS deletes true positives (an earlier 64x128-cell
+    # = 1.6x3.2 m variant capped recall at ~50 % for that reason). This grid
+    # is 6.4x12.8 m for 24 people — dense/occluded but physical.
     rig = make_synthetic_rig(
-        num_cam=6, img_shape=(144, 256), worldgrid_shape=(64, 128),
+        num_cam=6, img_shape=(270, 480), worldgrid_shape=(256, 512),
         camera_height_m=3.5, camera_margin_m=2.0, name="HardBench",
     )
     scene = SyntheticScene(rig, num_frame=60, num_person=num_person, seed=seed)
-    kw = dict(world_reduce=2, img_reduce=12, top_k=48,
+    kw = dict(world_reduce=4, img_reduce=12, top_k=48,
               world_kernel_size=kernel, img_kernel_size=kernel)
     train_set = FrameDataset(scene, train=True, augmentation=augmentation, **kw)
     test_set = FrameDataset(scene, train=False, **kw)
 
-    model = MVDeTr.from_rig(rig, world_reduce=2, img_reduce=12,
+    model = MVDeTr.from_rig(rig, world_reduce=4, img_reduce=12,
                             world_feat_arch="deform_trans", bottleneck_dim=bottleneck,
                             n_points=n_points)
     batch = next(train_set.batches(batch_size=batch_size))
@@ -72,7 +77,7 @@ if __name__ == "__main__":
     p.add_argument("--lr", type=float, default=8e-4)
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--n_points", type=int, default=4)
-    p.add_argument("--floor", type=float, default=90.0)
+    p.add_argument("--floor", type=float, default=88.0)
     p.add_argument("--cls_thres", type=float, default=0.35)
     p.add_argument("--num_person", type=int, default=24)
     args = p.parse_args()
