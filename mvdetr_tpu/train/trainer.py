@@ -104,13 +104,21 @@ def eval_step(
     (x, y, score) in full-resolution xy grid units, NMS-filtered with the
     0.5 m radius (`trainer.py:121-135`).
     """
-    outputs = state.apply_fn(
+    outputs, mutated = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         batch["imgs"],
         batch["affine_mats"],
         train=False,
+        mutable=["diagnostics"],
     )
     loss, aux = supervised_loss(outputs, batch, alpha, use_mse)
+    diag = mutated.get("diagnostics", {})
+    if diag:
+        # windowed-clamp health at EVAL time — the signal that tells a
+        # converted-checkpoint eval (--load_torch_ckpt with a fast attention
+        # mode) whether the radius clamp is actually binding on the loaded
+        # offsets (interop.py guidance)
+        aux["offset_clip_fraction"] = jnp.mean(jnp.stack(jax.tree.leaves(diag)))
     (world_heatmap, world_offset), _ = outputs
 
     score = jax.nn.sigmoid(world_heatmap)
@@ -359,6 +367,15 @@ class Trainer:
                 f"WARNING: eval top-K cap ({self.nms_top_k}) saturated on {cap_hits} frame(s) — "
                 "detections may be truncated; raise --nms_top_k"
             )
+        if count and "offset_clip_fraction" in aux:
+            clip_frac = float(aux["offset_clip_fraction"])
+            self.log(f"Eval offset_clip_fraction {clip_frac:.4f}")
+            if clip_frac > 0.05:
+                self.log(
+                    "WARNING: >5% of attention offsets are clamped by the windowed radius "
+                    "at eval — results may diverge from reference-exact semantics; use "
+                    "--attn_mode gather or raise --attn_radius (see interop.py)."
+                )
         det = np.asarray(rows, dtype=np.float64).reshape(-1, 3)
         if res_fpath is not None and jax.process_index() == 0:
             np.savetxt(res_fpath, det, "%d")
