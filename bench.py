@@ -26,9 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mvdetr_tpu.utils.cache import enable_compilation_cache
+from mvdetr_tpu.utils.cache import enable_compilation_cache, use_fast_prng
 
 enable_compilation_cache()
+use_fast_prng()
 
 BASELINE_TRAIN_FPS = 1.4  # estimated reference (RTX 2080TI) frame-sets/s, see module docstring
 

@@ -104,9 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args=None):
-    from mvdetr_tpu.utils.cache import enable_compilation_cache
+    from mvdetr_tpu.utils.cache import enable_compilation_cache, use_fast_prng
 
     enable_compilation_cache()
+    use_fast_prng()
 
     import jax
     import numpy as np

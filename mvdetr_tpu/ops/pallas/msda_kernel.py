@@ -43,7 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def vmem_limit_bytes(fraction: float = 0.78) -> int:
     """Per-core VMEM budget derived from the attached device generation
-    (v2/v3: 64 MB, v4+/v5e/v6e: 128 MB) instead of hard-coded literals."""
+    (v2/v3: 64 MB, v4+/v5e/v6e: 128 MB) instead of hard-coded literals.
+    ``MVDETR_VMEM_FRACTION`` overrides (trace-time knob, like the TH tiles) —
+    used with larger row tiles that need more scoped VMEM."""
+    raw = os.environ.get("MVDETR_VMEM_FRACTION")
+    if raw:
+        try:
+            fraction = float(raw)
+        except ValueError:
+            import warnings
+
+            warnings.warn(f"MVDETR_VMEM_FRACTION={raw!r} not a float; using {fraction}")
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:

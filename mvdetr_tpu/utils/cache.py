@@ -23,3 +23,25 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without these flags
+
+
+def use_fast_prng() -> None:
+    """Switch the default PRNG to ``unsafe_rbg`` (hardware RNG) unless
+    ``MVDETR_PRNG=threefry`` opts out.
+
+    The encoder's nine dropout sites draw masks over ~19M-element token
+    tensors each train step; counter-based threefry generation for those
+    masks costs ~19 ms/step at flagship scale (measured: 480 -> 461 ms,
+    +4% throughput — BENCH_NOTES r4). rbg is deterministic per key (the
+    bitwise step-reproducibility check still passes); its weaker key-split
+    mixing is irrelevant for dropout masks. Entry points (cli, bench,
+    profile scripts) call this; tests keep the default threefry.
+    """
+    if os.environ.get("MVDETR_PRNG", "").lower() == "threefry":
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    except Exception:
+        pass

@@ -13,9 +13,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mvdetr_tpu.utils.cache import enable_compilation_cache
+from mvdetr_tpu.utils.cache import enable_compilation_cache, use_fast_prng
 
 enable_compilation_cache()
+use_fast_prng()
 
 import jax
 import jax.numpy as jnp
