@@ -26,8 +26,11 @@ conv1/bn1/layer1..layer4 (`mvdetr.py:103-104`); heads are
 
 For eval parity of converted checkpoints, build the model with
 ``warp_convention='kornia'`` (see :class:`MVDeTr`) and
-``attn_mode='gather'`` (reference-exact attention) — or the fast paths with
-``n_points=8``/windowed once accuracy on the target rig is confirmed.
+``attn_mode='gather'`` (reference-exact attention) — or, ~23x faster,
+``attn_mode='windowed'`` with ``attn_radius=8`` (the practical ceiling;
+radius >= 12 hits a Mosaic compiler wall) and watch the eval
+``offset_clip_fraction`` log line: near zero means the clamp never binds on
+the loaded offsets and the fast path is numerically equivalent.
 """
 
 from __future__ import annotations
