@@ -192,6 +192,63 @@ def test_cli_load_torch_ckpt_eval(ref_mvdetr, rig, tmp_path, monkeypatch):
         ])
 
 
+def test_vgg11_conv_checkpoint_converts_and_matches_model_tree(rig):
+    """The vgg11 + conv (MVDet) checkpoint layout converts with full key
+    coverage and lands exactly on the Flax model's parameter tree (torchvision
+    is absent here, so the torch forward can't run — structure parity is the
+    testable contract for this arch)."""
+    import jax
+
+    gen = np.random.default_rng(13)
+
+    def t(*shape):
+        return torch.from_numpy(gen.normal(0, 0.1, size=shape).astype(np.float32))
+
+    sd = {}
+    vgg_cfg = [(0, 3, 64), (3, 64, 128), (6, 128, 256), (8, 256, 256),
+               (11, 256, 512), (13, 512, 512), (16, 512, 512), (18, 512, 512)]
+    for i, cin, cout in vgg_cfg:
+        sd[f"base.{i}.weight"] = t(cout, cin, 3, 3)
+        sd[f"base.{i}.bias"] = t(cout)
+    sd["bottleneck.0.weight"] = t(128, 512, 1, 1)
+    sd["bottleneck.0.bias"] = t(128)
+    for head, od in (("img_heatmap", 1), ("img_offset", 2), ("img_wh", 2),
+                     ("world_heatmap", 1), ("world_offset", 2)):
+        sd[f"{head}.0.weight"] = t(od, 128, 1, 1)
+        sd[f"{head}.0.bias"] = t(od)
+    n = rig.num_cam
+    sd["world_feat.downsample.0.weight"] = t(128, 128, 3, 3)
+    sd["world_feat.downsample.0.bias"] = t(128)
+    sd["world_feat.world_feat.0.weight"] = t(128, 128 * n + 2, 3, 3)
+    sd["world_feat.world_feat.0.bias"] = t(128)
+    for i in (2, 4):
+        sd[f"world_feat.world_feat.{i}.weight"] = t(128, 128, 3, 3)
+        sd[f"world_feat.world_feat.{i}.bias"] = t(128)
+    sd["world_feat.upsample.1.weight"] = t(128, 128, 3, 3)
+    sd["world_feat.upsample.1.bias"] = t(128)
+
+    from mvdetr_tpu.interop import convert_reference_state_dict, detect_reference_config
+
+    cfg = detect_reference_config(sd)
+    assert cfg["arch"] == "vgg11" and cfg["world_feat_arch"] == "conv"
+    variables = convert_reference_state_dict(sd, strict=True)
+
+    jmodel = MVDeTr.from_rig(
+        rig, world_reduce=WORLD_REDUCE, img_reduce=IMG_REDUCE, arch="vgg11",
+        world_feat_arch="conv", bottleneck_dim=128, outfeat_dim=0,
+    )
+    h, w = rig.img_shape
+    init = jmodel.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, rig.num_cam, h, w, 3)),
+        jnp.broadcast_to(jnp.eye(3), (1, rig.num_cam, 3, 3)),
+        train=False,
+    )
+    want = jax.tree.map(jnp.shape, init["params"])
+    got = jax.tree.map(jnp.shape, variables["params"])
+    assert want == got
+
+
 def test_kornia_shim_matches_center_convention_modulo_quirk():
     """Sanity-pin the kornia warp shim against this repo's center-convention
     warp: for the axis-aligned scaling homography the kornia quirk predicts
