@@ -23,7 +23,10 @@ from mvdetr_tpu.ops.msda_windowed import _pallas_windowed, ms_deform_attn_window
 
 
 def main():
-    b, l, h, w, m, d, p, radius = 1, 3, 24, 48, 8, 16, 4, 4
+    import argparse
+    ap = argparse.ArgumentParser(); ap.add_argument("--radius", type=int, default=4)
+    radius = ap.parse_args().radius
+    b, l, h, w, m, d, p = 1, 3, 24, 48, 8, 16, 4
     rng = np.random.default_rng(0)
     value = jnp.asarray(rng.standard_normal((b, l, h, w, m, d)), jnp.float32)
     off = jnp.asarray(rng.uniform(-6, 6, (b, l, h, w, m, l, p, 2)), jnp.float32)
