@@ -81,6 +81,7 @@ if __name__ == "__main__":
     p.add_argument("--floor", type=float, default=88.0)
     p.add_argument("--cls_thres", type=float, default=0.35)
     p.add_argument("--num_person", type=int, default=24)
+    p.add_argument("--seed", type=int, default=5)
     args = p.parse_args()
 
     if args.sweep:
@@ -89,7 +90,7 @@ if __name__ == "__main__":
                 cls_thres=args.cls_thres, num_person=args.num_person)
     else:
         moda = run(lr=args.lr, epochs=args.epochs, n_points=args.n_points, quiet=True,
-                   cls_thres=args.cls_thres, num_person=args.num_person)
+                   cls_thres=args.cls_thres, num_person=args.num_person, seed=args.seed)
         if moda < args.floor:
             print(f"REGRESSION: moda {moda:.1f} < floor {args.floor}")
             sys.exit(1)
