@@ -110,6 +110,23 @@ def test_eval_step_shapes(tiny_setup):
     assert keep.dtype == jnp.bool_
 
 
+def test_eval_reports_clip_fraction_for_windowed_attention():
+    """Eval-time clamp telemetry (the signal a converted-checkpoint eval on a
+    fast attention mode relies on — interop.py guidance)."""
+    rig = make_synthetic_rig(num_cam=2, img_shape=(48, 96), worldgrid_shape=(32, 64))
+    scene = SyntheticScene(rig, num_frame=4, num_person=3, seed=5)
+    ds = FrameDataset(scene, train=True, world_reduce=2, img_reduce=12, top_k=8,
+                      world_kernel_size=4, img_kernel_size=4)
+    model = MVDeTr.from_rig(rig, world_reduce=2, img_reduce=12,
+                            world_feat_arch="deform_trans", bottleneck_dim=32,
+                            attn_mode="windowed")
+    batch = next(ds.batches(batch_size=1))
+    state = create_train_state(model, batch, lr=1e-3, total_steps=10)
+    aux, _, _ = eval_step(state, batch, world_reduce=2, num_candidates=16)
+    assert "offset_clip_fraction" in aux
+    assert 0.0 <= float(aux["offset_clip_fraction"]) <= 1.0
+
+
 def test_trainer_end_to_end(tiny_setup, tmp_path):
     model, train_set, test_set, batch, state = tiny_setup
     trainer = Trainer(_fresh(state), train_set, test_set, cls_thres=0.3, logger=lambda *a: None)
