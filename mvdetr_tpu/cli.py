@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="BEV warp sampling convention; default 'center' "
                              "('kornia' when --load_torch_ckpt is set, for reference parity)")
     parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--logdir", type=str, default=None,
+                        help="explicit run directory (overrides the config-encoded name; "
+                             "multihost runs derive a deterministic shared name by default)")
     # synthetic-scene sizing (dataset == synthetic only)
     parser.add_argument("--synthetic_cams", type=int, default=4)
     parser.add_argument("--synthetic_frames", type=int, default=60)
@@ -147,19 +150,29 @@ def main(args=None):
                              dropout=args.dropcam, augmentation=args.augmentation, **common)
     test_set = FrameDataset(scene, train=False, **common)
 
-    # logdir convention (`main.py:77-89`)
+    # logdir convention (`main.py:77-89`). Multihost: every process must
+    # resolve the SAME directory (orbax checkpoint saves are collective over
+    # a shared dir), so the per-process wall-clock timestamp is replaced by a
+    # deterministic seed-based tag; the tee/snapshot run on process 0 only.
+    multihost = bool(args.num_processes and args.num_processes > 1)
     if args.resume is None:
-        logdir = (
-            f"logs/{args.dataset}/{'SS_' if args.semi_supervised else ''}"
-            f"{'aug_' if args.augmentation else ''}{args.world_feat}_lr{args.lr}_baseR{args.base_lr_ratio}_"
-            f"neck{args.bottleneck_dim}_out{args.outfeat_dim}_"
-            f"alpha{args.alpha}_id{args.id_ratio}_drop{args.dropout}_dropcam{args.dropcam}_"
-            f"worldRK{args.world_reduce}_{args.world_kernel_size}_imgRK{args.img_reduce}_{args.img_kernel_size}_"
-            f"{datetime.datetime.today():%Y-%m-%d_%H-%M-%S}"
-        )
+        if args.logdir is not None:
+            logdir = args.logdir
+        else:
+            stamp = (f"mh{args.num_processes}_seed{args.seed}" if multihost
+                     else f"{datetime.datetime.today():%Y-%m-%d_%H-%M-%S}")
+            logdir = (
+                f"logs/{args.dataset}/{'SS_' if args.semi_supervised else ''}"
+                f"{'aug_' if args.augmentation else ''}{args.world_feat}_lr{args.lr}_baseR{args.base_lr_ratio}_"
+                f"neck{args.bottleneck_dim}_out{args.outfeat_dim}_"
+                f"alpha{args.alpha}_id{args.id_ratio}_drop{args.dropout}_dropcam{args.dropcam}_"
+                f"worldRK{args.world_reduce}_{args.world_kernel_size}_imgRK{args.img_reduce}_{args.img_kernel_size}_"
+                f"{stamp}"
+            )
         os.makedirs(logdir, exist_ok=True)
-        _snapshot_source(logdir)
-        sys.stdout = Logger(os.path.join(logdir, "log.txt"))
+        if jax.process_index() == 0:
+            _snapshot_source(logdir)
+            sys.stdout = Logger(os.path.join(logdir, "log.txt"))
     else:
         logdir = f"logs/{args.dataset}/{args.resume}"
     print(logdir)
@@ -266,7 +279,8 @@ def main(args=None):
             history["test_loss"].append(test_loss)
             history["moda"].append(moda)
             save_checkpoint(ckpt_dir, trainer.state)
-            _draw_curve(os.path.join(logdir, "learning_curve.jpg"), history)
+            if jax.process_index() == 0:
+                _draw_curve(os.path.join(logdir, "learning_curve.jpg"), history)
     else:
         trainer.state = restore_weights(ckpt_dir, trainer.state)
         if args.profile:

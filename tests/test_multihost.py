@@ -68,6 +68,47 @@ def test_two_process_train_and_eval_matches_single_process():
 
 
 @pytest.mark.slow
+def test_two_process_cli_end_to_end(tmp_path):
+    """The CLI multihost flags themselves: two `python -m mvdetr_tpu.cli`
+    processes form a data=2 mesh, resolve ONE deterministic shared logdir
+    (required for the collective orbax save), train an epoch, and eval —
+    process 0 owns the tee/test.txt/curve artifacts."""
+    port = _free_port()
+    env = dict(
+        os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    cmd = lambda i: [  # noqa: E731
+        sys.executable, "-m", "mvdetr_tpu.cli",
+        "-d", "synthetic", "--synthetic_cams", "2", "--synthetic_frames", "8",
+        "--synthetic_img", "48", "96", "--synthetic_grid", "32", "64",
+        "--world_reduce", "2", "--epochs", "1", "--world_feat", "conv",
+        "--batch_size", "2", "--num_workers", "0", "--cls_thres", "0.3",
+        "--coordinator_address", f"localhost:{port}",
+        "--num_processes", "2", "--process_id", str(i),
+    ]
+    procs = [
+        subprocess.Popen(cmd(i), cwd=tmp_path, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, f"cli worker failed (rc={p.returncode}):\n{out[-4000:]}"
+
+    logdirs = list((tmp_path / "logs" / "synthetic").iterdir())
+    assert len(logdirs) == 1, f"expected one shared logdir, got {[d.name for d in logdirs]}"
+    d = logdirs[0]
+    assert "mh2" in d.name  # deterministic multihost tag, no wall-clock stamp
+    assert (d / "log.txt").exists()  # process-0 tee
+    assert (d / "test.txt").exists()
+    assert (d / "checkpoints").exists()
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("axis", ["view", "bev"])
 def test_two_process_nondata_axes(axis):
     """The view- and bev-sharded mesh configs across a REAL process boundary:
