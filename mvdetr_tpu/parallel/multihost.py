@@ -59,6 +59,10 @@ def process_batch_slice(total_batch: int, mesh: Optional[Mesh] = None) -> slice:
     # data rows owned by this process (mesh.devices axis 0 = 'data')
     pid = jax.process_index()
     owned = [i for i in range(data) if any(d.process_index == pid for d in mesh.devices[i].flat)]
+    assert owned == list(range(owned[0], owned[-1] + 1)), (
+        f"process {pid} owns non-contiguous data rows {owned}; build the mesh with "
+        f"process-contiguous device order (parallel/mesh.py does)"
+    )
     per = total_batch // data
     return slice(owned[0] * per, (owned[-1] + 1) * per)
 
