@@ -57,12 +57,14 @@ class SyntheticScene:
         person_width_m: float = 0.5,
         seed: int = 2021,
         step_cells: float = 3.0,
+        cache_images: bool = True,
     ):
         self.rig = rig
         self.num_frame = num_frame
         self.num_person = num_person
         self.person_height_m = person_height_m
         self.person_width_m = person_width_m
+        self._cache_images = cache_images
         rng = np.random.default_rng(seed)
 
         h, w = rig.worldgrid_shape
@@ -155,14 +157,21 @@ class SyntheticScene:
         ann = self.annotation(frame)
         # paint far-to-near so nearer persons occlude (approx: by bbox height)
         order = np.argsort([b[3] - b[1] for b in ann.bboxes[cam]]) if len(ann.bboxes[cam]) else []
-        ys, xs = np.mgrid[0:hgt, 0:wid]
         for j in order:
             x1, y1, x2, y2 = ann.bboxes[cam][j]
             pid = ann.bbox_pids[cam][j]
             cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
             rx, ry = max((x2 - x1) / 2, 1.0), max((y2 - y1) / 2, 1.0)
-            mask = ((xs - cx) / rx) ** 2 + ((ys - cy) / ry) ** 2 <= 1.0
-            img[mask] = self._colors[pid] * 255
+            # the ellipse is inscribed in its (clipped) bbox — evaluate the
+            # mask on the bbox slice only, not the full frame
+            ix1, iy1 = max(int(np.floor(x1)), 0), max(int(np.floor(y1)), 0)
+            ix2, iy2 = min(int(np.ceil(x2)) + 1, wid), min(int(np.ceil(y2)) + 1, hgt)
+            if ix2 <= ix1 or iy2 <= iy1:
+                continue
+            lys, lxs = np.ogrid[iy1:iy2, ix1:ix2]
+            mask = ((lxs - cx) / rx) ** 2 + ((lys - cy) / ry) ** 2 <= 1.0
+            img[iy1:iy2, ix1:ix2][mask] = self._colors[pid] * 255
         img = np.clip(img, 0, 255).astype(np.uint8)
-        self._cache[key] = img
+        if self._cache_images:
+            self._cache[key] = img
         return img

@@ -17,9 +17,11 @@ MVDeTr specifics preserved:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +46,37 @@ def radial_offset_bias(n_heads: int, n_levels: int, n_points: int,
     if max_radius is not None and n_points > max_radius:
         grid *= max_radius / n_points
     return grid.reshape(-1).astype(np.float32)
+
+
+def _clip_fraction_diag(offsets: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """Fraction of learned offsets clamped by the windowed radius (the
+    telemetry the trainer logs; interop.py guidance signal).
+
+    Formulation note (round-5 finding): the flagship-scale EVAL graph in f32
+    compute runs at the HBM cliff of the attached worker at batch 2, and the
+    tunnel reports the resulting OOM as a hard TPU-worker crash (rarely as a
+    clean RESOURCE_EXHAUSTED). Whether a given process survives depends on
+    marginal live-buffer details — including which clip-reduce formulation
+    is fused into the graph (an extensive probe matrix in round 5: identical
+    HLO passed or crashed depending only on co-resident buffers; bf16
+    compute passes everywhere). The default "staged" formulation — partial
+    reduce to [B, Q], optimization_barrier, then the tiny mean — keeps the
+    smallest live set of the variants tried and reports the identical
+    fraction. ``MVDETR_CLIP_DIAG`` selects a variant (mean_bool / int_sum /
+    max_abs / none) for A/B on future toolchains."""
+    variant = os.environ.get("MVDETR_CLIP_DIAG", "staged")
+    r = float(radius)
+    if variant == "none":  # telemetry off (last-resort escape hatch)
+        return jnp.zeros(())
+    if variant == "mean_bool":  # the original formulation
+        return jnp.mean((jnp.abs(offsets) > r).astype(jnp.float32))
+    if variant == "max_abs":  # max offset reach instead of clamp fraction
+        return jnp.max(jnp.abs(offsets))
+    if variant == "int_sum":  # integer count reduce, float divide at the end
+        cnt = jnp.sum((jnp.abs(offsets) > r).astype(jnp.int32))
+        return cnt.astype(jnp.float32) / float(offsets.size)
+    part = jnp.mean((jnp.abs(offsets) > r).astype(jnp.float32), axis=tuple(range(2, offsets.ndim)))
+    return jnp.mean(jax.lax.optimization_barrier(part))
 
 
 class MSDeformAttn(nn.Module):
@@ -158,7 +191,7 @@ class MSDeformAttn(nn.Module):
             # without materializing the viz tensors above — logged every
             # log_interval by the trainer (windowed-clamp health signal)
             self.sow("diagnostics", "offset_clip_fraction",
-                     jnp.mean((jnp.abs(offsets) > float(self.radius)).astype(jnp.float32)))
+                     _clip_fraction_diag(offsets, float(self.radius)))
 
         if self.mode in ("windowed", "warped"):
             h_, w_ = shapes[0]

@@ -155,7 +155,7 @@ def write_multiviewx_tree(root: str, scene, with_images: bool = True) -> None:
 
 
 def wildtrack_like_scene(num_frame: int = 10, num_person: int = 10, seed: int = 2021,
-                         img_shape=(1080, 1920)):
+                         img_shape=(1080, 1920), cache_images: bool = True):
     """A SyntheticScene on a rig with full Wildtrack conventions (7 cams,
     480x1440 ij grid, centimeters, origin (-300, -900))."""
     from mvdetr_tpu.data import SyntheticScene
@@ -166,7 +166,8 @@ def wildtrack_like_scene(num_frame: int = 10, num_person: int = 10, seed: int = 
         indexing="ij", worldcoord_unit=0.01, origin_offset=(-300.0, -900.0),
         camera_height_m=6.0, camera_margin_m=4.0,
     )
-    return SyntheticScene(rig, num_frame=num_frame, num_person=num_person, seed=seed)
+    return SyntheticScene(rig, num_frame=num_frame, num_person=num_person, seed=seed,
+                          cache_images=cache_images)
 
 
 def multiviewx_like_scene(num_frame: int = 8, num_person: int = 8, seed: int = 2021,
