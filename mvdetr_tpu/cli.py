@@ -169,6 +169,15 @@ def main(args=None):
                 f"worldRK{args.world_reduce}_{args.world_kernel_size}_imgRK{args.img_reduce}_{args.img_kernel_size}_"
                 f"{stamp}"
             )
+        # the multihost stamp is deterministic (mh{n}_seed{seed}), so two runs
+        # with identical config+seed resolve the same directory — their
+        # checkpoints would interleave and log.txt would be overwritten
+        if multihost and args.logdir is None and os.path.isdir(os.path.join(logdir, "checkpoints")):
+            print(
+                f"WARNING: multihost logdir {logdir} already contains checkpoints "
+                f"from a previous run with the same config+seed; resuming picks the "
+                f"latest step across BOTH runs. Pass --logdir for a fresh directory."
+            )
         os.makedirs(logdir, exist_ok=True)
         if jax.process_index() == 0:
             _snapshot_source(logdir)

@@ -31,6 +31,19 @@ For eval parity of converted checkpoints, build the model with
 radius >= 12 hits a Mosaic compiler wall) and watch the eval
 ``offset_clip_fraction`` log line: near zero means the clamp never binds on
 the loaded offsets and the fast path is numerically equivalent.
+
+Kornia-version assumption: the 'kornia' warp convention reproduces
+``kornia.warp_perspective(dst_norm_trans_src_norm, align_corners=False)``
+as of kornia 0.5-0.6 (the releases contemporary with the reference,
+whose requirements pin no version): pixel p maps through
+``x_norm = x * 2/(W-1) - 1`` THEN the normalized-coordinate homography —
+i.e. the half-pixel-off grid the shim in ``tests/_reference_torch.py``
+encodes and ``tests/test_torch_parity.py`` validates. Later kornia
+releases reworked ``warp_perspective``'s align_corners handling; a
+checkpoint trained against one of those could be off by ~half a feature
+pixel with no telemetry to catch it. If real checkpoints ever disagree
+at eval, A/B ``--warp_convention center`` vs ``kornia`` — the MODA delta
+between the two bounds the worst-case convention error.
 """
 
 from __future__ import annotations
@@ -156,9 +169,23 @@ def detect_reference_config(state_dict) -> dict:
     if "world_feat.lvl_embedding" in sd:
         cfg["world_feat_arch"] = "deform_trans"
         cfg["num_cam"] = int(_np(sd["world_feat.lvl_embedding"]).shape[0])
-        # sampling_offsets out = heads * levels(=num_cam) * points * 2 (`ms_deform_attn.py:55`)
+        # sampling_offsets out = heads * levels(=num_cam) * points * 2 (`ms_deform_attn.py:55`).
+        # nhead is NOT recoverable from the weight shapes alone (only the
+        # product M*L*P is); the reference hard-wires 8 heads
+        # (`trans_world_feat.py:76`), so assert that assumption loudly
+        # instead of silently inferring a wrong n_points.
         off = int(_np(sd["world_feat.encoder.layers.0.self_attn.sampling_offsets.weight"]).shape[0])
-        cfg["n_points"] = off // (8 * cfg["num_cam"] * 2)
+        nhead = 8
+        denom = nhead * cfg["num_cam"] * 2
+        if off % denom or not 1 <= off // denom <= 16:
+            raise ValueError(
+                f"sampling_offsets out-dim {off} is inconsistent with the assumed "
+                f"{nhead} attention heads x {cfg['num_cam']} cameras "
+                f"(`trans_world_feat.py:76` hard-wires nhead=8); this checkpoint "
+                f"was likely trained with a modified nhead — conversion needs a "
+                f"matching MSDeformAttn config."
+            )
+        cfg["n_points"] = off // denom
     elif "world_feat.encoder.layers.0.self_attn.in_proj_weight" in sd:
         cfg["world_feat_arch"] = "trans"
     elif "world_feat.encoder.layers.0.self_attn.value_proj.weight" in sd:

@@ -325,7 +325,11 @@ class Trainer:
             # ragged tail: pad with repeats of the last frame up to a full
             # batch and run the SAME sharded eval step (no duplicated
             # per-host work, no second jit variant); padded rows are dropped
-            # at emit. Loss averaging uses the true tail fraction.
+            # at emit. Loss: aux['loss'] is the mean over the PADDED batch
+            # (duplicate rows included), so weighting by the tail fraction
+            # only approximates the true tail loss — test_loss is slightly
+            # biased toward the repeated last frame. Detections/MODA are
+            # exact (padded rows never emit).
             tail_idx = list(range(n_full * batch_size, len(frames_order)))
             if tail_idx:
                 from mvdetr_tpu.data.dataset import collate

@@ -96,12 +96,74 @@ def _fake_torchvision():
     for name in ("Resize", "ToPILImage", "Compose", "Normalize", "ToTensor"):
         setattr(transforms, name, _unavailable)
 
-    class DeformConv2d(nn.Module):  # definition-only stub
-        def __init__(self, *a, **k):
-            super().__init__()
+    class DeformConv2d(nn.Module):
+        """Pure-torch reimplementation of ``torchvision.ops.DeformConv2d``
+        (torchvision itself is not installed here). Semantics per the
+        torchvision docs / DCNv1: ``offset`` has ``2*kh*kw`` channels ordered
+        as (dy, dx) pairs per kernel tap in row-major tap order; each tap
+        samples ``x`` bilinearly (zero padding outside) at
+        ``p0 + p_k + dp_k`` and the taps are mixed by the conv weights.
+        Restricted to the configuration the reference uses
+        (`conv_world_feat.py:60`): stride 1, dilation 1, groups 1."""
 
-        def forward(self, *a, **k):  # pragma: no cover
-            raise RuntimeError("torchvision DeformConv2d unavailable")
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, groups=1, bias=True):
+            super().__init__()
+            import math
+
+            import torch
+
+            assert stride == 1 and dilation == 1 and groups == 1
+            kh = kw = kernel_size if isinstance(kernel_size, int) else None
+            if kh is None:
+                kh, kw = kernel_size
+            self.kh, self.kw, self.padding = kh, kw, padding
+            self.weight = nn.Parameter(torch.empty(out_channels, in_channels, kh, kw))
+            nn.init.kaiming_uniform_(self.weight, a=math.sqrt(5))
+            if bias:
+                fan_in = in_channels * kh * kw
+                bound = 1.0 / math.sqrt(fan_in)
+                self.bias = nn.Parameter(torch.empty(out_channels).uniform_(-bound, bound))
+            else:
+                self.bias = None
+
+        def forward(self, x, offset):
+            import torch
+
+            b, cin, h, w = x.shape
+            kh, kw, pad = self.kh, self.kw, self.padding
+            off = offset.reshape(b, kh * kw, 2, h, w)
+            ys = torch.arange(h, dtype=x.dtype)[:, None].expand(h, w)
+            xs = torch.arange(w, dtype=x.dtype)[None, :].expand(h, w)
+
+            def bilinear(sy, sx):  # zero-padded bilinear gather, [B, H, W] coords
+                y0 = torch.floor(sy)
+                x0 = torch.floor(sx)
+                wy, wx = sy - y0, sx - x0
+                out = torch.zeros(b, cin, h, w, dtype=x.dtype)
+                for dy, wyy in ((0, 1 - wy), (1, wy)):
+                    for dx, wxx in ((0, 1 - wx), (1, wx)):
+                        yi = (y0 + dy).long()
+                        xi = (x0 + dx).long()
+                        ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+                        yc = yi.clamp(0, h - 1)
+                        xc = xi.clamp(0, w - 1)
+                        tap = x[torch.arange(b)[:, None, None], :, yc, xc]  # [B, H, W, Cin]
+                        tap = tap.permute(0, 3, 1, 2)
+                        out = out + tap * (wyy * wxx * ok.to(x.dtype))[:, None]
+                return out
+
+            out = None
+            for k in range(kh * kw):
+                ki, kj = divmod(k, kw)
+                sy = ys[None] + (ki - pad) + off[:, k, 0]
+                sx = xs[None] + (kj - pad) + off[:, k, 1]
+                tap = bilinear(sy, sx)  # [B, Cin, H, W]
+                mixed = torch.einsum("bchw,oc->bohw", tap, self.weight[:, :, ki, kj])
+                out = mixed if out is None else out + mixed
+            if self.bias is not None:
+                out = out + self.bias[None, :, None, None]
+            return out
 
     ops.DeformConv2d = DeformConv2d
     tv.models = models

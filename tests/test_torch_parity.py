@@ -146,6 +146,15 @@ def test_aio_full_model_parity(ref_mvdetr, rig):
     _run_pair(ref_mvdetr, rig, "aio", 0)
 
 
+def test_deform_conv_full_model_parity(ref_mvdetr, rig):
+    """Per-view ``DeformConv2d`` fusion (`conv_world_feat.py:55-76`) — the
+    oracle for the converter's (dy, dx)-interleave offset-channel permute
+    (`interop.py`) and for `ops/deform_conv.py` itself. torchvision is not
+    installed here; the shim provides a clean-room pure-torch DeformConv2d
+    following torchvision's documented offset layout (tests/_reference_torch)."""
+    _run_pair(ref_mvdetr, rig, "deform_conv", 0)
+
+
 def test_cli_load_torch_ckpt_eval(ref_mvdetr, rig, tmp_path, monkeypatch):
     """Day-one checkpoint path: ``cli.py --load_torch_ckpt MultiviewDetector.pth``
     converts a (randomized) reference checkpoint and produces a MODA number
