@@ -36,6 +36,15 @@ def bev_row_sharded_windowed_attention(
 
     Requires ``H % n_shards == 0`` and ``H // n_shards >= radius``. Returns
     ``[B, C, H, W, M*D]`` sharded on the H axis.
+
+    Composition over the full 3-axis mesh (SURVEY §2.8 combined strategy):
+    when the mesh also carries ``data``/``view`` axes of size > 1, the batch
+    stays sharded over ``data`` and the per-camera query blocks (the C axis
+    of offsets/weights and of the output) over ``view``, so each device
+    computes only its own (frame, camera-block, row-block) cell. The VALUE
+    tensor is replicated over ``view`` — every query block samples every
+    camera's level, so XLA inserts the documented value all-gather over ICI
+    at the shard_map boundary. Only the ±radius row halo moves over ``bev``.
     """
     n = int(mesh.shape[axis])
     h = value.shape[2]
@@ -52,7 +61,19 @@ def bev_row_sharded_windowed_attention(
         # per-shard dispatch: Pallas kernels on TPU, dense XLA elsewhere
         return windowed_attention(vh, o, w, radius=radius, row_halo=True, flatten=False)
 
-    vspec = P(None, None, axis)  # H is axis 2 on all three inputs and the output
+    mesh_axes = dict(mesh.shape)
+    # batch over data only when divisible (the trainer's unsharded ragged-tail
+    # fallback can pass a short batch through a mesh-built model)
+    data = ("data" if mesh_axes.get("data", 1) > 1
+            and value.shape[0] % mesh_axes["data"] == 0 else None)
+    # camera-copy query blocks ride the view axis when it is a real axis
+    # DISTINCT from the bev axis (the bev-only path historically reuses the
+    # name "view" for its row axis) and it divides the C blocks
+    view = None
+    if axis != "view" and mesh_axes.get("view", 1) > 1 and offsets.shape[1] % mesh_axes["view"] == 0:
+        view = "view"
+    vspec = P(data, None, axis)  # value: all levels on every view shard
+    qspec = P(data, view, axis)  # offsets / weights / output
     return jax.shard_map(
-        local, mesh=mesh, in_specs=(vspec, vspec, vspec), out_specs=vspec, check_vma=False,
+        local, mesh=mesh, in_specs=(vspec, qspec, qspec), out_specs=qspec, check_vma=False,
     )(value, offsets, weights)

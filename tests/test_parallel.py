@@ -123,3 +123,33 @@ def test_bev_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(float(bev_aux["loss"]), float(ref_aux["loss"]), rtol=2e-5)
     for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(bev_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_three_axis_mesh_train_step_matches_single_device():
+    """Full (data=2, view=2, bev=2) composition (SURVEY §2.8 combined
+    strategy, VERDICT r4 #8): batch over ``data``, per-camera query blocks
+    over ``view``, encoder rows over ``bev`` with the halo exchange — all in
+    ONE jitted train step, equivalent to the single-device step."""
+    rig = make_synthetic_rig(num_cam=4, img_shape=(48, 96), worldgrid_shape=(128, 64))
+    scene = SyntheticScene(rig, num_frame=6, num_person=3, seed=7)
+    ds = FrameDataset(scene, train=True, world_reduce=2, img_reduce=12, top_k=8)
+    batch = next(ds.batches(batch_size=2))
+
+    # Rworld 64x32 -> encoder rows 16: bev=2 shards of 8 rows (>= radius 4)
+    mesh = make_mesh(num_view_shards=2, num_bev_shards=2)
+    assert dict(mesh.shape) == {"data": 2, "view": 2, "bev": 2}
+    kwargs = dict(world_reduce=2, img_reduce=12, world_feat_arch="deform_trans",
+                  bottleneck_dim=32, attn_mode="windowed")
+    model_ref = MVDeTr.from_rig(rig, **kwargs)
+    model_3ax = MVDeTr.from_rig(rig, mesh=mesh, **kwargs)
+    state_ref = create_train_state(model_ref, batch, lr=1e-3, total_steps=10)
+    state_3ax = create_train_state(model_3ax, batch, lr=1e-3, total_steps=10)
+
+    rng = jax.random.PRNGKey(9)
+    ref_state, ref_aux = train_step(_fresh(state_ref), batch, rng)
+    step = make_sharded_train_step(mesh)
+    new_state, aux = step(replicate_state(_fresh(state_3ax), mesh), shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(aux["loss"]), float(ref_aux["loss"]), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
