@@ -79,7 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["auto", "gather", "windowed", "warped"])
     parser.add_argument("--n_points", type=int, default=4, choices=[4, 8],
                         help="deformable points per (head, level); 8 = shadow reference maps")
-    parser.add_argument("--attn_radius", type=int, default=4)
+    parser.add_argument("--attn_radius", type=int, default=None,
+                        help="windowed-attention clamp radius in BEV cells (default 4; "
+                             "with --load_torch_ckpt it is auto-picked from the "
+                             "checkpoint's sampling_offsets biases — interop.suggest_attn_radius)")
     parser.add_argument("--nms_top_k", type=int, default=512,
                         help="eval candidate cap before NMS (the trainer warns when it saturates)")
     parser.add_argument("--remat_backbone", type=str2bool, default=False,
@@ -206,12 +209,31 @@ def main(args=None):
                              devices=jax.devices()[:usable])
             print(f"mesh: {dict(mesh.shape)}")
 
+    # windowed clamp radius: explicit flag > checkpoint auto-pick > default 4.
+    # For converted reference checkpoints (trained with unbounded offsets) a
+    # host-side scan of the sampling_offsets biases picks the smallest radius
+    # covering the learned static reach (VERDICT r4 #9; the data-dependent
+    # remainder is reported by the eval offset_clip_fraction line).
+    attn_radius = args.attn_radius
+    if attn_radius is None and args.load_torch_ckpt and args.attn_mode != "gather":
+        import torch
+
+        from mvdetr_tpu.interop import suggest_attn_radius
+
+        sd = torch.load(args.load_torch_ckpt, map_location="cpu")
+        attn_radius, reach = suggest_attn_radius(sd)
+        print(f"auto attn_radius {attn_radius} (checkpoint max |sampling_offsets bias| "
+              f"{reach:.2f} cells; override with --attn_radius N, exact semantics with "
+              f"--attn_mode gather)")
+    if attn_radius is None:
+        attn_radius = 4
+
     model = MVDeTr.from_rig(
         rig, world_reduce=args.world_reduce, img_reduce=args.img_reduce, arch=args.arch,
         world_feat_arch=args.world_feat, bottleneck_dim=args.bottleneck_dim,
         outfeat_dim=args.outfeat_dim, dropout=args.dropout,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        attn_mode=args.attn_mode, attn_radius=args.attn_radius, n_points=args.n_points,
+        attn_mode=args.attn_mode, attn_radius=attn_radius, n_points=args.n_points,
         remat_backbone=args.remat_backbone,
         mesh=mesh,
         warp_convention=args.warp_convention

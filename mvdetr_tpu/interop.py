@@ -198,6 +198,31 @@ def detect_reference_config(state_dict) -> dict:
     return cfg
 
 
+def suggest_attn_radius(state_dict, lo: int = 4, hi: int = 8):
+    """Pick a windowed-attention radius for a converted checkpoint from a
+    host-side scan of its ``sampling_offsets`` biases.
+
+    The offsets head is ``W @ query + b`` with ``W`` zero-initialized and the
+    radial ring prior in ``b`` (`ms_deform_attn.py:62-77`); after training
+    the bias carries the bulk of the learned reach, so ``ceil(max|b|) + 1``
+    covers the static part with one spare cell. The data-dependent ``W``
+    contribution cannot be bounded offline — the eval-time
+    ``offset_clip_fraction`` log line reports whether the chosen radius
+    actually binds. Result clamped to [lo, hi]; hi defaults to 8, the
+    practical Mosaic ceiling (BENCH_NOTES r4).
+
+    Returns ``(radius, max_abs_bias)``.
+    """
+    import math
+
+    sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in state_dict.items()}
+    biases = [v for k, v in sd.items() if k.endswith("sampling_offsets.bias")]
+    if not biases:
+        return lo, 0.0
+    reach = max(float(np.abs(_np(b)).max()) for b in biases)
+    return int(min(max(math.ceil(reach) + 1, lo), hi)), reach
+
+
 def convert_reference_state_dict(state_dict, nhead: int = 8, strict: bool = True) -> dict:
     """Convert a full reference ``MultiviewDetector.pth`` state_dict to
     ``{"params": ..., "batch_stats": ...}`` for :class:`MVDeTr`.

@@ -42,3 +42,25 @@ def test_cli_parser_defaults():
     assert args.world_feat == "deform_trans" and args.seed == 2021
     assert args.world_reduce == 4 and args.img_reduce == 12
     assert args.cls_thres == 0.6 and args.alpha == 1.0 and args.base_lr_ratio == 0.1
+
+
+def test_suggest_attn_radius():
+    """Checkpoint-driven radius auto-pick (interop.suggest_attn_radius):
+    ceil(max |sampling_offsets bias|) + 1, clamped to [4, 8]."""
+    import numpy as np
+
+    from mvdetr_tpu.interop import suggest_attn_radius
+
+    sd = {
+        "world_feat.encoder.layers.0.self_attn.sampling_offsets.bias": np.full(16, 2.0),
+        "world_feat.encoder.layers.1.self_attn.sampling_offsets.bias": np.array([-5.3, 1.0]),
+        "world_feat.encoder.layers.0.self_attn.sampling_offsets.weight": np.zeros((16, 4)),
+    }
+    assert suggest_attn_radius(sd) == (7, 5.3)
+    # no offsets head at all (conv checkpoint): conservative default
+    assert suggest_attn_radius({"x": np.ones(3)}) == (4, 0.0)
+    # reach beyond the Mosaic ceiling clamps to 8 (gather stays the exact path)
+    r, reach = suggest_attn_radius({"a.sampling_offsets.bias": np.array([55.0])})
+    assert r == 8 and reach == 55.0
+    # module.-prefixed (DataParallel-style) keys are normalized
+    assert suggest_attn_radius({"module.a.sampling_offsets.bias": np.array([3.5])})[0] == 5

@@ -200,6 +200,21 @@ def test_cli_load_torch_ckpt_eval(ref_mvdetr, rig, tmp_path, monkeypatch):
             "--load_torch_ckpt", str(ckpt),
         ])
 
+    # auto attn_radius (VERDICT r4 #9): with attn_mode left at 'auto' and no
+    # --attn_radius, the CLI scans the checkpoint's offset biases — the fresh
+    # radial init reaches 4 cells (rings 1..n_points), so radius 5 is picked —
+    # and the windowed fast path evaluates without manual tuning
+    trainer = main([
+        "-d", "synthetic", "--synthetic_cams", "2", "--synthetic_frames", "6",
+        "--synthetic_img", "48", "96", "--synthetic_grid", "32", "64",
+        "--world_reduce", "2", "--img_reduce", "8", "--epochs", "1",
+        "--load_torch_ckpt", str(ckpt),
+    ])
+    assert trainer is not None
+    from mvdetr_tpu.interop import suggest_attn_radius
+
+    assert suggest_attn_radius(tmodel.state_dict()) == (5, 4.0)
+
 
 def test_vgg11_conv_checkpoint_converts_and_matches_model_tree(rig):
     """The vgg11 + conv (MVDet) checkpoint layout converts with full key
