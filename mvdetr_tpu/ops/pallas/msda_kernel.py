@@ -156,6 +156,69 @@ class _LazyHats:
         return jnp.maximum(0.0, 1.0 - jnp.abs(self.ox - float(dxi - self.radius)))
 
 
+def _kernel_xgrid(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref,
+                  vtile, vsh, sem, sem2, *, radius, th, tw, vwidth,
+                  num_l, num_m, num_d):
+    """Large-radius variant: the x-shift rides grid axis 3 instead of a
+    static (2R+1)-way Python unroll, so compile cost is O(1) in the radius
+    (the unroll is what crashes the Mosaic remote compiler at radius >= 12 —
+    BENCH_NOTES r4). Mosaic cannot issue vector loads at dynamic sublane
+    offsets, so each x-step stages its shifted window with a local VMEM->VMEM
+    async copy (DMAs do support dynamic offsets); the full halo'd tile is
+    still fetched from HBM only once per (batch, row-block). The output
+    block is revisited across the x-steps and accumulated in place."""
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    dxi = pl.program_id(3)
+    k = num_m * num_d
+    t = th * tw
+    win = 2 * radius + 1
+
+    @pl.when((c == 0) & (dxi == 0))
+    def _():
+        dma = pltpu.make_async_copy(
+            value_ref.at[bb, pl.ds(i * th, th + 2 * radius), pl.ds(0, vwidth), :],
+            vtile,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+    # stage this x-shift's window: [TH+2R, TW, L*K] at dynamic column offset
+    shift = pltpu.make_async_copy(vtile.at[:, pl.ds(dxi, tw), :], vsh, sem2)
+    shift.start()
+    shift.wait()
+
+    lim = float(radius)
+    ox = jnp.clip(ox_ref[0, 0].reshape(t, ox_ref.shape[-1]), -lim, lim)
+    oy = jnp.clip(oy_ref[0, 0].reshape(t, oy_ref.shape[-1]), -lim, lim)
+    wgt = w_ref[0, 0].reshape(t, w_ref.shape[-1])
+    hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - (dxi - radius).astype(jnp.float32)))
+    wx = wgt * hatx
+
+    def body_dy(dyi, acc):
+        haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - (dyi - radius).astype(jnp.float32)))
+        cw3 = wx * haty  # [T, PLM]
+        cwlm = jnp.dot(cw3, s_ref[...], preferred_element_type=jnp.float32)
+        cwlk = jnp.dot(cwlm, e_ref[...], preferred_element_type=jnp.float32)
+        vwin = vsh[pl.ds(dyi, th), :, :].reshape(t, num_l * k)
+        prod = cwlk * vwin.astype(jnp.float32)
+        for li in range(num_l):
+            acc = acc + prod[:, li * k : (li + 1) * k]
+        return acc
+
+    acc = jax.lax.fori_loop(0, win, body_dy, jnp.zeros((t, k), jnp.float32))
+
+    @pl.when(dxi == 0)
+    def _():
+        out_ref[0, 0] = acc.reshape(th, tw, k)
+
+    @pl.when(dxi > 0)
+    def _():
+        out_ref[0, 0] += acc.reshape(th, tw, k)
+
+
 def _pick_tile(n: int, target: int) -> int:
     for cand in range(min(target, n), 0, -1):
         if n % cand == 0:
@@ -251,15 +314,46 @@ def msda_windowed_pallas_prepped(
     th = _pick_tile(h, _env_tile("MVDETR_MSDA_TH_FWD", 12))
     tw = wp
     vwidth = vp.shape[2]
+    win = 2 * radius + 1
 
     s_mat, e_mat = _select_matrices(m, l, p, d)
 
-    grid = (b, h // th, c)
-    qspec = pl.BlockSpec((1, 1, th, tw, plm), lambda bb, i, cc: (bb, cc, i, 0, 0),
-                         memory_space=pltpu.VMEM)
+    # x-shift placement: static Python unroll up to radius 8 (fastest; the
+    # hatx columns are shared across dy), grid axis beyond (the unroll is
+    # what crashes the Mosaic remote compiler at radius >= 12 — BENCH_NOTES
+    # r4; the grid variant compiles in O(1) of the radius).
+    # MVDETR_MSDA_XGRID=1/0 forces the choice for A/B.
+    force = os.environ.get("MVDETR_MSDA_XGRID")
+    xgrid = win > 17 if force is None else force == "1"
+
+    if xgrid:
+        grid = (b, h // th, c, win)
+        qspec = pl.BlockSpec((1, 1, th, tw, plm), lambda bb, i, cc, dx: (bb, cc, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((1, 1, th, tw, k), lambda bb, i, cc, dx: (bb, cc, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(_kernel_xgrid, radius=radius, th=th, tw=tw, vwidth=vwidth,
+                                 num_l=l, num_m=m, num_d=d)
+        scratch = [
+            pltpu.VMEM((th + 2 * radius, vwidth, l * k), vp.dtype),
+            pltpu.VMEM((th + 2 * radius, tw, l * k), vp.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        grid = (b, h // th, c)
+        qspec = pl.BlockSpec((1, 1, th, tw, plm), lambda bb, i, cc: (bb, cc, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((1, 1, th, tw, k), lambda bb, i, cc: (bb, cc, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(_kernel, radius=radius, th=th, tw=tw, vwidth=vwidth,
+                                 num_l=l, num_m=m, num_d=d)
+        scratch = [
+            pltpu.VMEM((th + 2 * radius, vwidth, l * k), vp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
     out = pl.pallas_call(
-        functools.partial(_kernel, radius=radius, th=th, tw=tw, vwidth=vwidth,
-                          num_l=l, num_m=m, num_d=d),
+        kern,
         out_shape=jax.ShapeDtypeStruct((b, c, h, wp, k), jnp.float32),
         grid=grid,
         in_specs=[
@@ -270,12 +364,8 @@ def msda_windowed_pallas_prepped(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # E
             pl.BlockSpec(memory_space=pl.ANY),  # value (manual DMA)
         ],
-        out_specs=pl.BlockSpec((1, 1, th, tw, k), lambda bb, i, cc: (bb, cc, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * radius, vwidth, l * k), vp.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_specs=ospec,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes(0.75)),
         interpret=interpret,
     )(ox, oy, wg, jnp.asarray(s_mat), jnp.asarray(e_mat), vp)

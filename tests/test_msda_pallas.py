@@ -153,3 +153,26 @@ def test_dispatch_pads_non128_head_dim(rng):
     ref = np.asarray(ms_deform_attn_windowed(value, off, wgt, 2))
     # production kernel dtype is bf16 -> compare loosely
     assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6) < 2e-2
+
+
+@pytest.mark.parametrize("radius", [4, 12])
+def test_pallas_xgrid_variant_matches_xla(radius, rng, monkeypatch):
+    """Large-radius kernel variant (x-shift on a grid axis + dynamic-offset
+    local DMA instead of the static unroll that walls the Mosaic compiler at
+    radius >= 12). Auto-selected above radius 8; forced here for both radii
+    so the A/B path stays covered."""
+    monkeypatch.setenv("MVDETR_MSDA_XGRID", "1")
+    b, l, h, w, m, d, p, c = 1, 2, 24, 16, 8, 16, 3, 2
+    value = rng.standard_normal((b, l, h, w, m, d)).astype(np.float32)
+    off = rng.uniform(-radius - 1, radius + 1, (b, c, h, w, m, l, p, 2)).astype(np.float32)
+    wgt = rng.uniform(0, 1, (b, c, h, w, m, l, p)).astype(np.float32)
+    wgt /= wgt.sum(axis=(-1, -2), keepdims=True)
+
+    out = np.asarray(msda_windowed_pallas(
+        jnp.asarray(value), jnp.asarray(off), jnp.asarray(wgt), radius,
+        kernel_dtype=jnp.float32, interpret=True,
+    ))
+    ref = np.asarray(ms_deform_attn_windowed(
+        jnp.asarray(value), jnp.asarray(off), jnp.asarray(wgt), radius
+    )).reshape(b, c, h, w, m * d)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
