@@ -28,6 +28,10 @@ def main():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--radius", type=int, default=4)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--fwd_only", action="store_true",
+                   help="skip the backward (the bwd kernel keeps the static "
+                        "x-unroll and walls the Mosaic compiler at radius >= 12; "
+                        "the large-radius grid-axis variant is forward/eval-only)")
     args = p.parse_args()
 
     from mvdetr_tpu.ops.msda_windowed import _pallas_windowed
@@ -52,7 +56,8 @@ def main():
         leaf = jax.tree.leaves(r)[0]
         float(jnp.sum(leaf))
 
-    for name, f in [("fwd", fwd), ("fwd+bwd", bwd)]:
+    cases = [("fwd", fwd)] if args.fwd_only else [("fwd", fwd), ("fwd+bwd", bwd)]
+    for name, f in cases:
         t0 = time.time()
         sync(f(value, off, wgt))
         print(f"  [{name} compiled in {time.time() - t0:.0f}s]", flush=True)

@@ -33,7 +33,7 @@ from mvdetr_tpu.train import Trainer, create_train_state
 
 def run(lr=8e-4, epochs=15, n_points=4, seed=5, batch_size=2, cls_thres=0.35,
         kernel=4.0, base_lr_ratio=1.0, augmentation=True, quiet=False,
-        num_person=24, bottleneck=128):
+        num_person=24, bottleneck=128, attn_mode="auto", attn_radius=4):
     # Scene scale matters: the 0.5 m NMS radius and CLEAR match threshold are
     # 20 full-grid cells (2.5 cm cells). People must be spaced plausibly in
     # METERS or greedy NMS deletes true positives (an earlier 64x128-cell
@@ -51,7 +51,7 @@ def run(lr=8e-4, epochs=15, n_points=4, seed=5, batch_size=2, cls_thres=0.35,
 
     model = MVDeTr.from_rig(rig, world_reduce=4, img_reduce=12,
                             world_feat_arch="deform_trans", bottleneck_dim=bottleneck,
-                            n_points=n_points)
+                            n_points=n_points, attn_mode=attn_mode, attn_radius=attn_radius)
     batch = next(train_set.batches(batch_size=batch_size))
     steps = (len(train_set) // batch_size) * epochs
     state = create_train_state(model, batch, lr=lr, total_steps=steps,
@@ -72,25 +72,59 @@ def run(lr=8e-4, epochs=15, n_points=4, seed=5, batch_size=2, cls_thres=0.35,
     return moda
 
 
+PANEL_SEEDS = (5, 7, 11)
+
+
+def panel(args):
+    """Multi-seed accuracy panel (VERDICT r4 #3): run the SAME recipe over
+    PANEL_SEEDS and gate on a per-seed floor, so the accuracy claim stops
+    being one-recipe-one-seed. Scene difficulty genuinely varies with the
+    seed (people spawn in different densities/occlusion patterns); the
+    honest number is the band + the worst seed."""
+    results = {}
+    for seed in PANEL_SEEDS:
+        moda = run(lr=args.lr, epochs=args.epochs, n_points=args.n_points, quiet=True,
+                   cls_thres=args.cls_thres, num_person=args.num_person, seed=seed,
+                   attn_mode=args.attn_mode, attn_radius=args.attn_radius)
+        results[seed] = moda
+        print(f"PANEL seed {seed}: moda {moda:.1f}", flush=True)
+    worst = min(results.values())
+    print(f"PANEL band: {worst:.1f}-{max(results.values()):.1f} over seeds {dict(results)}")
+    if worst < args.panel_floor:
+        print(f"REGRESSION: worst-seed moda {worst:.1f} < panel floor {args.panel_floor}")
+        sys.exit(1)
+    print(f"OK: worst-seed moda {worst:.1f} >= panel floor {args.panel_floor}")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--sweep", action="store_true")
+    p.add_argument("--panel", action="store_true",
+                   help="3-seed panel with a worst-seed floor (VERDICT r4 #3)")
     p.add_argument("--lr", type=float, default=8e-4)
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--n_points", type=int, default=4)
     p.add_argument("--floor", type=float, default=88.0)
+    p.add_argument("--panel_floor", type=float, default=85.0)
     p.add_argument("--cls_thres", type=float, default=0.35)
     p.add_argument("--num_person", type=int, default=24)
     p.add_argument("--seed", type=int, default=5)
+    p.add_argument("--attn_mode", default="auto",
+                   choices=["auto", "gather", "windowed", "warped"],
+                   help="A/B the attention modes on the same recipe (VERDICT r4 #5)")
+    p.add_argument("--attn_radius", type=int, default=4)
     args = p.parse_args()
 
-    if args.sweep:
+    if args.panel:
+        panel(args)
+    elif args.sweep:
         for lr in (8e-4, 1.2e-3):
             run(lr=lr, epochs=args.epochs, n_points=args.n_points, quiet=True,
                 cls_thres=args.cls_thres, num_person=args.num_person)
     else:
         moda = run(lr=args.lr, epochs=args.epochs, n_points=args.n_points, quiet=True,
-                   cls_thres=args.cls_thres, num_person=args.num_person, seed=args.seed)
+                   cls_thres=args.cls_thres, num_person=args.num_person, seed=args.seed,
+                   attn_mode=args.attn_mode, attn_radius=args.attn_radius)
         if moda < args.floor:
             print(f"REGRESSION: moda {moda:.1f} < floor {args.floor}")
             sys.exit(1)
