@@ -51,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--base_lr_ratio", type=float, default=0.1)
     parser.add_argument("--weight_decay", type=float, default=1e-4)
     parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--resume_train", type=str, default=None,
+                        help="logdir (path or logs/<dataset>/<name>) to restore the FULL "
+                             "train state (params, optimizer, schedule step) from and "
+                             "continue the epoch loop — beyond the reference's weights-only "
+                             "--resume (`main.py:143-147`)")
+    parser.add_argument("--epochs_per_process", type=int, default=None,
+                        help="stop after N epochs this process (checkpoint saved); rerun "
+                             "with --resume_train to continue. Works around the axon "
+                             "tunnel's per-H2D-transfer host-memory pinning on long "
+                             "image-heavy runs (BENCH_NOTES round 5)")
     parser.add_argument("--visualize", action="store_true")
     parser.add_argument("--profile", action="store_true",
                         help="dump a jax.profiler device trace of epoch-1 steps 2-4 to logdir/trace")
@@ -158,7 +168,12 @@ def main(args=None):
     # a shared dir), so the per-process wall-clock timestamp is replaced by a
     # deterministic seed-based tag; the tee/snapshot run on process 0 only.
     multihost = bool(args.num_processes and args.num_processes > 1)
-    if args.resume is None:
+    if args.resume_train is not None:
+        logdir = (args.resume_train if os.path.isdir(args.resume_train)
+                  else f"logs/{args.dataset}/{args.resume_train}")
+        if jax.process_index() == 0:
+            sys.stdout = Logger(os.path.join(logdir, "log.txt"), append=True)
+    elif args.resume is None:
         if args.logdir is not None:
             logdir = args.logdir
         else:
@@ -273,6 +288,14 @@ def main(args=None):
         trainer.check_determinism(batch_size=args.batch_size)
 
     history = {"epoch": [], "train_loss": [], "test_loss": [], "moda": []}
+    start_epoch = 1
+    if args.resume_train:
+        from mvdetr_tpu.train import restore_checkpoint
+
+        trainer.state = restore_checkpoint(ckpt_dir, trainer.state)
+        start_epoch = int(trainer.state.step) // steps_per_epoch + 1
+        print(f"resume_train: restored step {int(trainer.state.step)} "
+              f"-> continuing at epoch {start_epoch}/{args.epochs}")
     if args.load_torch_ckpt:
         from mvdetr_tpu.interop import load_torch_checkpoint
         from mvdetr_tpu.train import load_full_variables
@@ -299,7 +322,7 @@ def main(args=None):
             )
         trainer.state = load_full_variables(trainer.state, variables)
     elif args.resume is None:
-        for epoch in range(1, args.epochs + 1):
+        for epoch in range(start_epoch, args.epochs + 1):
             print(f"=== epoch {epoch}/{args.epochs} ===")
             train_loss = trainer.train_epoch(epoch, batch_size=args.batch_size)
             test_loss, moda, modp, prec, recall = trainer.test(batch_size=args.batch_size,
@@ -312,6 +335,11 @@ def main(args=None):
             save_checkpoint(ckpt_dir, trainer.state)
             if jax.process_index() == 0:
                 _draw_curve(os.path.join(logdir, "learning_curve.jpg"), history)
+            if (args.epochs_per_process and epoch < args.epochs
+                    and epoch - start_epoch + 1 >= args.epochs_per_process):
+                print(f"epochs_per_process budget reached at epoch {epoch}; "
+                      f"continue with --resume_train {logdir}")
+                return trainer
     else:
         trainer.state = restore_weights(ckpt_dir, trainer.state)
         if args.profile:

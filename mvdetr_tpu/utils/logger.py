@@ -11,12 +11,12 @@ import sys
 
 
 class Logger:
-    def __init__(self, fpath: str | None = None):
+    def __init__(self, fpath: str | None = None, append: bool = False):
         self.console = sys.stdout
         self.file = None
         if fpath is not None:
             os.makedirs(os.path.dirname(fpath), exist_ok=True)
-            self.file = open(fpath, "w")
+            self.file = open(fpath, "a" if append else "w")
 
     def __del__(self):
         self.close()

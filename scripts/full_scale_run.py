@@ -132,6 +132,7 @@ def main():
     # batch 2 sits at the HBM cliff of the attached worker (round-5 probe
     # matrix), so the demonstration runs the bf16 mode end to end.
     p.add_argument("--bf16", default="true")
+    p.add_argument("--epochs_per_process", type=int, default=1)
     p.add_argument("--skip_train", action="store_true")
     args = p.parse_args()
 
@@ -157,10 +158,13 @@ def main():
           f"({args.num_workers} workers, batch {args.batch_size})")
 
     t0 = time.time()
-    os.chdir(args.workdir)
-    from mvdetr_tpu.cli import main as cli_main
+    rundir = os.path.join(args.workdir, "run")
+    import shutil
+    import subprocess
 
-    cli_main([
+    shutil.rmtree(rundir, ignore_errors=True)
+    base = [
+        sys.executable, "-m", "mvdetr_tpu.cli",
         "-d", "wildtrack",
         "--data_root", root,
         "--epochs", str(args.epochs),
@@ -172,15 +176,22 @@ def main():
         "--img_kernel_size", str(args.img_kernel_size),
         "--num_workers", str(args.num_workers),
         "--bf16", str(args.bf16),
-        "--logdir", os.path.join(args.workdir, "run"),
-    ])
+        "--epochs_per_process", str(args.epochs_per_process),
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    # One process per epoch: the axon tunnel client pins a host-side copy of
+    # every H2D transfer (~39 MB per image batch, measured; no JAX-level
+    # release works — BENCH_NOTES round 5), so a 9000-step run would exhaust
+    # host RAM. Each epoch stays under ~45 GB and exits; the next process
+    # restores the FULL train state (optimizer + schedule step) via
+    # --resume_train. Compile comes from the persistent cache.
+    for launch in range(0, args.epochs, args.epochs_per_process):
+        cmd = base + (["--logdir", rundir] if launch == 0 else ["--resume_train", rundir])
+        rc = subprocess.run(cmd, cwd=args.workdir, env=env).returncode
+        if rc != 0:
+            raise SystemExit(f"cli epoch process (launch {launch}) failed rc={rc}")
     total_s = time.time() - t0
-    sys.stdout = sys.__stdout__  # undo the CLI's tee
-
-    import jax
-
-    stats = jax.local_devices()[0].memory_stats() or {}
-    peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
+    peak_gb = 0.0  # axon reports no device memory stats
 
     # scrape per-epoch wall-clock + MODA from the run log
     log = open(os.path.join(args.workdir, "run", "log.txt")).read()
