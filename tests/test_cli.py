@@ -64,3 +64,37 @@ def test_suggest_attn_radius():
     assert r == 8 and reach == 55.0
     # module.-prefixed (DataParallel-style) keys are normalized
     assert suggest_attn_radius({"module.a.sampling_offsets.bias": np.array([3.5])})[0] == 5
+
+
+@pytest.mark.slow
+def test_cli_resume_train_continues_epochs(tmp_path, monkeypatch):
+    """--epochs_per_process budget + --resume_train: the second process
+    restores the FULL train state (optimizer + schedule step) and continues
+    at the right epoch with the loss still descending (the per-epoch
+    process-recycling workaround for the axon H2D host-pinning)."""
+    import numpy as np
+
+    monkeypatch.chdir(tmp_path)
+    from mvdetr_tpu.cli import main
+
+    base = [
+        "-d", "synthetic", "--epochs", "3", "--world_feat", "conv",
+        "--synthetic_cams", "2", "--synthetic_frames", "8",
+        "--synthetic_img", "48", "96", "--synthetic_grid", "32", "64",
+        "--world_reduce", "2", "--augmentation", "false",
+        "--cls_thres", "0.3", "--batch_size", "2",
+        "--logdir", str(tmp_path / "run"),
+    ]
+    import sys
+
+    t1 = main(base + ["--epochs_per_process", "1"])
+    sys.stdout = sys.__stdout__  # drop the CLI's tee (real usage: one per process)
+    step1 = int(t1.state.step)
+    assert step1 > 0  # exactly one epoch's worth of steps ran
+
+    t2 = main(base + ["--resume_train", str(tmp_path / "run")])
+    sys.stdout = sys.__stdout__
+    assert int(t2.state.step) > step1
+    log = (tmp_path / "run" / "log.txt").read_text()
+    assert "continuing at epoch 2/3" in log
+    assert log.count("=== epoch") == 3  # appended, not truncated
