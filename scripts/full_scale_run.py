@@ -178,7 +178,10 @@ def main():
         "--bf16", str(args.bf16),
         "--epochs_per_process", str(args.epochs_per_process),
     ]
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # prepend (not replace!) the repo on PYTHONPATH — the axon plugin rides
+    # the existing PYTHONPATH (~/.axon_site) and must stay visible
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     # One process per epoch: the axon tunnel client pins a host-side copy of
     # every H2D transfer (~39 MB per image batch, measured; no JAX-level
     # release works — BENCH_NOTES round 5), so a 9000-step run would exhaust
