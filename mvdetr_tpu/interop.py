@@ -26,9 +26,11 @@ conv1/bn1/layer1..layer4 (`mvdetr.py:103-104`); heads are
 
 For eval parity of converted checkpoints, build the model with
 ``warp_convention='kornia'`` (see :class:`MVDeTr`) and
-``attn_mode='gather'`` (reference-exact attention) — or, ~23x faster,
-``attn_mode='windowed'`` with ``attn_radius=8`` (the practical ceiling;
-radius >= 12 hits a Mosaic compiler wall) and watch the eval
+``attn_mode='gather'`` (reference-exact attention) — or much faster,
+``attn_mode='windowed'`` with an auto-picked radius (see
+:func:`suggest_attn_radius`; radius 8 runs 40 ms/layer on the unrolled
+kernel, radius 16 — enough for any measured checkpoint reach — 233 ms on
+the grid-axis kernel vs 922 ms gather) and watch the eval
 ``offset_clip_fraction`` log line: near zero means the clamp never binds on
 the loaded offsets and the fast path is numerically equivalent.
 
@@ -198,7 +200,7 @@ def detect_reference_config(state_dict) -> dict:
     return cfg
 
 
-def suggest_attn_radius(state_dict, lo: int = 4, hi: int = 8):
+def suggest_attn_radius(state_dict, lo: int = 4, hi: int = 16):
     """Pick a windowed-attention radius for a converted checkpoint from a
     host-side scan of its ``sampling_offsets`` biases.
 
@@ -208,8 +210,10 @@ def suggest_attn_radius(state_dict, lo: int = 4, hi: int = 8):
     covers the static part with one spare cell. The data-dependent ``W``
     contribution cannot be bounded offline — the eval-time
     ``offset_clip_fraction`` log line reports whether the chosen radius
-    actually binds. Result clamped to [lo, hi]; hi defaults to 8, the
-    practical Mosaic ceiling (BENCH_NOTES r4).
+    actually binds. Result clamped to [lo, hi]; hi defaults to 16 — the
+    grid-axis forward kernel compiles at any radius (round 5; 233 ms/layer
+    at radius 16 vs 922 ms reference-exact gather), while radius <= 8 rides
+    the faster unrolled kernel (40 ms at radius 8).
 
     Returns ``(radius, max_abs_bias)``.
     """

@@ -163,10 +163,13 @@ def _kernel_xgrid(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref,
     static (2R+1)-way Python unroll, so compile cost is O(1) in the radius
     (the unroll is what crashes the Mosaic remote compiler at radius >= 12 —
     BENCH_NOTES r4). Mosaic cannot issue vector loads at dynamic sublane
-    offsets, so each x-step stages its shifted window with a local VMEM->VMEM
-    async copy (DMAs do support dynamic offsets); the full halo'd tile is
-    still fetched from HBM only once per (batch, row-block). The output
-    block is revisited across the x-steps and accumulated in place."""
+    offsets, and even DMA sublane starts must be PROVABLY 8-divisible — so
+    each x-step stages its window with a local VMEM->VMEM copy from the
+    8-ALIGNED base below the shift (``pl.multiple_of`` carries the proof)
+    and an 8-way static residue unroll supplies the remaining 0..7 column
+    offset as a compile-time constant. The halo'd tile is still fetched from
+    HBM once per (batch, row-block); the output block is revisited across
+    the x-steps and accumulated in place."""
     bb = pl.program_id(0)
     i = pl.program_id(1)
     c = pl.program_id(2)
@@ -185,11 +188,6 @@ def _kernel_xgrid(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref,
         dma.start()
         dma.wait()
 
-    # stage this x-shift's window: [TH+2R, TW, L*K] at dynamic column offset
-    shift = pltpu.make_async_copy(vtile.at[:, pl.ds(dxi, tw), :], vsh, sem2)
-    shift.start()
-    shift.wait()
-
     lim = float(radius)
     ox = jnp.clip(ox_ref[0, 0].reshape(t, ox_ref.shape[-1]), -lim, lim)
     oy = jnp.clip(oy_ref[0, 0].reshape(t, oy_ref.shape[-1]), -lim, lim)
@@ -197,26 +195,35 @@ def _kernel_xgrid(ox_ref, oy_ref, w_ref, s_ref, e_ref, value_ref, out_ref,
     hatx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - (dxi - radius).astype(jnp.float32)))
     wx = wgt * hatx
 
-    def body_dy(dyi, acc):
-        haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - (dyi - radius).astype(jnp.float32)))
-        cw3 = wx * haty  # [T, PLM]
-        cwlm = jnp.dot(cw3, s_ref[...], preferred_element_type=jnp.float32)
-        cwlk = jnp.dot(cwlm, e_ref[...], preferred_element_type=jnp.float32)
-        vwin = vsh[pl.ds(dyi, th), :, :].reshape(t, num_l * k)
-        prod = cwlk * vwin.astype(jnp.float32)
-        for li in range(num_l):
-            acc = acc + prod[:, li * k : (li + 1) * k]
-        return acc
+    for r8 in range(8):
 
-    acc = jax.lax.fori_loop(0, win, body_dy, jnp.zeros((t, k), jnp.float32))
+        @pl.when(dxi % 8 == r8)
+        def _(r8=r8):
+            base = pl.multiple_of(dxi - r8, 8)
+            shift = pltpu.make_async_copy(vtile.at[:, pl.ds(base, tw + 8), :], vsh, sem2)
+            shift.start()
+            shift.wait()
 
-    @pl.when(dxi == 0)
-    def _():
-        out_ref[0, 0] = acc.reshape(th, tw, k)
+            def body_dy(dyi, acc):
+                haty = jnp.maximum(0.0, 1.0 - jnp.abs(oy - (dyi - radius).astype(jnp.float32)))
+                cw3 = wx * haty  # [T, PLM]
+                cwlm = jnp.dot(cw3, s_ref[...], preferred_element_type=jnp.float32)
+                cwlk = jnp.dot(cwlm, e_ref[...], preferred_element_type=jnp.float32)
+                vwin = vsh[pl.ds(dyi, th), r8 : r8 + tw, :].reshape(t, num_l * k)
+                prod = cwlk * vwin.astype(jnp.float32)
+                for li in range(num_l):
+                    acc = acc + prod[:, li * k : (li + 1) * k]
+                return acc
 
-    @pl.when(dxi > 0)
-    def _():
-        out_ref[0, 0] += acc.reshape(th, tw, k)
+            acc = jax.lax.fori_loop(0, win, body_dy, jnp.zeros((t, k), jnp.float32))
+
+            @pl.when(dxi == 0)
+            def _():
+                out_ref[0, 0] = acc.reshape(th, tw, k)
+
+            @pl.when(dxi > 0)
+            def _():
+                out_ref[0, 0] += acc.reshape(th, tw, k)
 
 
 def _pick_tile(n: int, target: int) -> int:
@@ -238,6 +245,14 @@ def _env_tile(var: str, default: int) -> int:
 
         warnings.warn(f"{var}={raw!r} is not an int; using default {default}")
         return default
+
+
+def use_xgrid(radius: int) -> bool:
+    """Whether the forward uses the grid-axis x-shift kernel (`_kernel_xgrid`)
+    — auto above radius 8 (the static unroll's Mosaic wall is radius 12),
+    forceable either way with ``MVDETR_MSDA_XGRID=1/0`` for A/B."""
+    force = os.environ.get("MVDETR_MSDA_XGRID")
+    return (2 * radius + 1) > 17 if force is None else force == "1"
 
 
 def prep_inputs(value, offsets, weights, radius: int, kernel_dtype=jnp.bfloat16,
@@ -262,6 +277,10 @@ def prep_inputs(value, offsets, weights, radius: int, kernel_dtype=jnp.bfloat16,
     wp = -(-w // 8) * 8
     vwidth = wp + 2 * radius
     vwidth += (-vwidth) % 8
+    if use_xgrid(radius):
+        # the grid-axis kernel's aligned-base copy reads up to
+        # [2R, 2R + tw + 8) — guarantee the tail columns exist (zero pad)
+        vwidth += 8
     vfused = jnp.moveaxis(value.reshape(b, l, hv, w, k), 1, 3).reshape(b, hv, w, l * k)
     ypad = (0, 0) if row_halo else (radius, radius)
     vp = jnp.pad(
@@ -322,9 +341,7 @@ def msda_windowed_pallas_prepped(
     # hatx columns are shared across dy), grid axis beyond (the unroll is
     # what crashes the Mosaic remote compiler at radius >= 12 — BENCH_NOTES
     # r4; the grid variant compiles in O(1) of the radius).
-    # MVDETR_MSDA_XGRID=1/0 forces the choice for A/B.
-    force = os.environ.get("MVDETR_MSDA_XGRID")
-    xgrid = win > 17 if force is None else force == "1"
+    xgrid = use_xgrid(radius)
 
     if xgrid:
         grid = (b, h // th, c, win)
@@ -336,7 +353,7 @@ def msda_windowed_pallas_prepped(
                                  num_l=l, num_m=m, num_d=d)
         scratch = [
             pltpu.VMEM((th + 2 * radius, vwidth, l * k), vp.dtype),
-            pltpu.VMEM((th + 2 * radius, tw, l * k), vp.dtype),
+            pltpu.VMEM((th + 2 * radius, tw + 8, l * k), vp.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]

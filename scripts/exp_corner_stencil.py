@@ -136,11 +136,18 @@ def main():
     # correctness of the einsum variant vs the scan
     ref = ms_deform_attn_windowed(value, off, wgt, radius=r, flatten=False)
     got = onehot_window_attention_einsum(value, off, wgt, radius=r)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    # TPU lowers the einsum contractions to DEFAULT-precision (bf16-pass) MXU
+    # dots; exact-f32 equality is asserted by the CPU small-scale run
+    tol = dict(atol=2e-4) if jax.default_backend() == "cpu" else dict(atol=8e-3, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
     print(f"correctness OK at scale={args.scale} (radius {r})")
 
-    bench(lambda v, o, g: windowed_attention(v, o, g, radius=r, flatten=False),
-          (value, off, wgt), name="windowed scan (Pallas on TPU / XLA on CPU)")
+    try:
+        bench(lambda v, o, g: windowed_attention(v, o, g, radius=r, flatten=False),
+              (value, off, wgt), name="windowed scan (Pallas on TPU / XLA on CPU)")
+    except Exception as e:  # the mid-scale H=12 tile trips the remote compiler;
+        print(f"windowed scan (Pallas): compile failed at this scale ({type(e).__name__}) "
+              f"— flagship-scale numbers come from scripts/bench_kernel.py")
     bench(lambda v, o, g: ms_deform_attn_windowed(v, o, g, radius=r, flatten=False),
           (value, off, wgt), name="windowed scan (pure XLA)")
     bench(lambda v, o, g: onehot_window_attention_einsum(v, o, g, radius=r),

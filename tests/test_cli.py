@@ -59,9 +59,10 @@ def test_suggest_attn_radius():
     assert suggest_attn_radius(sd) == (7, 5.3)
     # no offsets head at all (conv checkpoint): conservative default
     assert suggest_attn_radius({"x": np.ones(3)}) == (4, 0.0)
-    # reach beyond the Mosaic ceiling clamps to 8 (gather stays the exact path)
+    # extreme reach clamps to 16 (the grid-axis kernel's practical eval
+    # ceiling; gather stays the exact path beyond)
     r, reach = suggest_attn_radius({"a.sampling_offsets.bias": np.array([55.0])})
-    assert r == 8 and reach == 55.0
+    assert r == 16 and reach == 55.0
     # module.-prefixed (DataParallel-style) keys are normalized
     assert suggest_attn_radius({"module.a.sampling_offsets.bias": np.array([3.5])})[0] == 5
 
